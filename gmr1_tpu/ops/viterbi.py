@@ -1,0 +1,154 @@
+"""Batched soft-decision Viterbi decoding for the GMR-1 code family.
+
+TPU-native replacement for libosmocore's osmo_conv_decode (SURVEY.md
+§2.6; call sites e.g. reference src/l1/bcch.c:94, tch3.c:174).  Design
+(SURVEY.md §7.1 "the one hard kernel"):
+
+  * Branch metrics for the whole burst are one MXU matmul:
+    bm[t, s, b] = sum_n soft[t*N+n] * (+-1 expected sign), computed as
+    (T, N) x (N, S*2).  Punctured positions carry soft value 0 and thus
+    contribute nothing (erasures) — de-puncturing is a static scatter.
+  * The add-compare-select recurrence runs as a lax.scan over time with
+    all states and the batch axis vectorized; the radix-2 trellis
+    structure (predecessors of state ns are ns>>1 and ns>>1 | S/2, input
+    bit = ns & 1) makes the gather indices static.
+  * Traceback is a reverse lax.scan over the stored decision bits.
+
+Metric convention: maximize correlation sum(soft * expected_sign) where
+positive soft = bit 0 (osmocom sbit).  `distance` converts the winning
+metric into the same "soft Hamming distance" flavour libosmocore
+reports: sum(|soft|) - metric) / 2 over unpunctured positions.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .conv import TERM_FLUSH, TERM_TAIL_BITING, ConvCode
+
+NEG_INF = -1e30
+
+
+@lru_cache(maxsize=None)
+def _acs_tables(code: ConvCode) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(p0[S], p1[S], sign[S, 2, N]) for the ACS step.
+
+    p0/p1 are the two predecessor states of each state; sign is the
+    expected-bit sign (+1 for bit 0) of transition (state s, input b).
+    """
+    s_cnt = code.num_states
+    ns = np.arange(s_cnt)
+    p0 = (ns >> 1).astype(np.int32)
+    p1 = (p0 | (s_cnt >> 1)).astype(np.int32)
+    sign = (1 - 2 * code.output_bits.astype(np.int32)).astype(np.float32)
+    return p0, p1, sign
+
+
+def depuncture(soft, keep_idx: np.ndarray, out_len: int):
+    """Scatter punctured soft bits (..., P) into erasure zeros (..., out_len)."""
+    soft = jnp.asarray(soft, jnp.float32)
+    out = jnp.zeros((*soft.shape[:-1], out_len), jnp.float32)
+    return out.at[..., jnp.asarray(keep_idx)].set(soft)
+
+
+@partial(jax.jit, static_argnames=("code", "in_len"))
+def decode(code: ConvCode, soft, in_len: int):
+    """ML-decode soft bits (..., out_len(in_len)) -> (bits, metric).
+
+    `soft` must already be de-punctured (zeros at erased positions) and
+    of full unpunctured length.  Returns decoded input bits
+    (..., in_len) as uint8 and the winning path correlation metric
+    (...,) float32.  Flush termination constrains both endpoint states
+    to zero; tail-biting starts all states equal and ends at the best
+    state (the libosmocore CONV_TERM_TAIL_BITING strategy).
+    """
+    soft = jnp.asarray(soft, jnp.float32)
+    n = code.n
+    t_steps = soft.shape[-1] // n
+    batch_shape = soft.shape[:-1]
+    s_cnt = code.num_states
+
+    p0_np, p1_np, sign_np = _acs_tables(code)
+    p0 = jnp.asarray(p0_np)
+    p1 = jnp.asarray(p1_np)
+    b_of = jnp.arange(s_cnt) & 1  # input bit that leads into each state
+
+    # Branch metrics: (..., T, S, 2) via one matmul.
+    sym = soft.reshape(*batch_shape, t_steps, n)
+    sign = jnp.asarray(sign_np.reshape(s_cnt * 2, n))  # (S*2, N)
+    bm = jnp.einsum("...tn,sn->...ts", sym, sign,
+                    preferred_element_type=jnp.float32)
+    bm = bm.reshape(*batch_shape, t_steps, s_cnt, 2)
+    # Scan carries (..., S) metrics; move time in front.
+    bm = jnp.moveaxis(bm, -3, 0)  # (T, ..., S, 2)
+
+    if code.term == TERM_FLUSH:
+        m0 = jnp.full((*batch_shape, s_cnt), NEG_INF, jnp.float32)
+        m0 = m0.at[..., 0].set(0.0)
+    else:
+        m0 = jnp.zeros((*batch_shape, s_cnt), jnp.float32)
+
+    def acs(m, bm_t):
+        c0 = m[..., p0] + bm_t[..., p0, b_of]
+        c1 = m[..., p1] + bm_t[..., p1, b_of]
+        dec = c1 > c0
+        m_new = jnp.where(dec, c1, c0)
+        # Normalize to keep metrics bounded over long blocks.
+        m_new = m_new - jnp.max(m_new, axis=-1, keepdims=True)
+        return m_new, (dec, jnp.max(jnp.where(dec, c1, c0), axis=-1))
+
+    m_final, (decisions, step_max) = jax.lax.scan(acs, m0, bm)
+    # Recover the unnormalized winning metric: the per-step max shifts
+    # telescope, so the true best-path metric is the sum of step maxima
+    # relative to the running normalization — track it directly instead:
+    # metric = sum over steps of (max after ACS before normalization).
+    # step_max at step t is already relative to the previous normalized
+    # metrics, so the total is just the sum.
+    metric_total = jnp.sum(step_max, axis=0)
+
+    if code.term == TERM_FLUSH:
+        end_state = jnp.zeros(batch_shape, jnp.int32)
+        end_bias = m_final[..., 0] - jnp.max(m_final, axis=-1)
+    else:
+        end_state = jnp.argmax(m_final, axis=-1).astype(jnp.int32)
+        end_bias = jnp.zeros(batch_shape, jnp.float32)
+    metric_total = metric_total + end_bias
+
+    def traceback(s, dec_t):
+        bit = (s & 1).astype(jnp.uint8)
+        took_p1 = jnp.take_along_axis(
+            dec_t.reshape(-1, s_cnt), s.reshape(-1, 1), axis=-1
+        ).reshape(s.shape)
+        s_prev = jnp.where(took_p1, p1[s], p0[s])
+        return s_prev, bit
+
+    _, bits_rev = jax.lax.scan(traceback, end_state, decisions, reverse=True)
+    bits = jnp.moveaxis(bits_rev, 0, -1)  # (..., T)
+    return bits[..., :in_len], metric_total
+
+
+def decode_punctured(code: ConvCode, soft, in_len: int, keep_idx: np.ndarray):
+    """Convenience: de-puncture then decode."""
+    full = depuncture(soft, keep_idx, code.out_len(in_len))
+    return decode(code, full, in_len)
+
+
+def distance(code: ConvCode, soft, bits_decoded, keep_idx=None):
+    """Soft distance of the decoded word, libosmocore-flavoured.
+
+    Re-encodes the decision and scores sum(|soft| - soft*sign)/2 over
+    surviving (unpunctured) positions; equals the Hamming distance for
+    +-127 hard-decision inputs scaled by 127.
+    """
+    from .conv import encode
+
+    enc = encode(code, bits_decoded).astype(jnp.float32)
+    sign = 1.0 - 2.0 * enc
+    if keep_idx is not None:
+        sign = sign[..., jnp.asarray(keep_idx)]
+    soft = jnp.asarray(soft, jnp.float32)
+    return jnp.sum(jnp.abs(soft) - soft * sign, axis=-1) / 2.0

@@ -1,0 +1,131 @@
+"""Modulator/demodulator round-trip tests.
+
+The channel model is sample-and-hold oversampling + delay + carrier
+offset + AWGN; the demodulator must recover sync id, TOA, frequency and
+the soft bits (hard-decision exact on clean signals).
+"""
+
+import numpy as np
+import pytest
+
+from gmr1_tpu.sdr import bursts as BU
+from gmr1_tpu.sdr import modem
+
+
+def channel(x1, sps, delay, freq_err_per_sym=0.0, sigma=0.0, win=20, rng=None):
+    """1-sps modulated burst -> band-limited oversampled windowed capture.
+
+    Sinc-interpolates the symbol stream to sps samples/symbol (supports
+    fractional `delay` in samples), applies a carrier offset and AWGN.
+    """
+    x1 = np.asarray(x1)
+    nsym = x1.shape[-1]
+    total = nsym * sps + win
+    n = np.arange(total)
+    # sample n sits at symbol time (n - delay)/sps
+    t = (n[:, None] - delay) / sps - np.arange(nsym)[None, :]
+    h = np.sinc(t).astype(np.float32)
+    out = x1 @ h.T
+    out = out * np.exp(1j * freq_err_per_sym / sps * n)
+    if sigma and rng is not None:
+        noise = rng.normal(0, sigma / np.sqrt(2), (*out.shape, 2))
+        out = out + (noise[..., 0] + 1j * noise[..., 1])
+    return out.astype(np.complex64)
+
+
+def sbit_to_hard(e):
+    return (np.asarray(e) < 0).astype(np.uint8)
+
+
+@pytest.mark.parametrize("burst", [BU.BCCH, BU.DC2, BU.NT3_SPEECH, BU.RACH],
+                         ids=lambda b: b.name)
+def test_mod_demod_roundtrip_sps4(burst, rng):
+    sps, win = 4, 20
+    ebits = rng.integers(0, 2, size=(3, burst.ebits)).astype(np.uint8)
+    x1 = np.array(modem.mod(burst, ebits))
+    cap = channel(x1, sps, delay=9, rng=rng, sigma=0.02, win=win)
+    res = modem.demod(burst, cap, sps, win)
+    np.testing.assert_array_equal(sbit_to_hard(res.ebits), ebits)
+    assert np.all(np.abs(np.array(res.toa) - 9) < 1.0)
+    assert np.all(np.array(res.sync_id) == 0)
+    assert np.all(np.abs(np.array(res.freq_err)) < 0.02)
+
+
+def test_demod_freq_error_estimate(rng):
+    burst = BU.BCCH  # 3 sync chunks -> fine freq observable
+    sps, win = 4, 16
+    f = 0.01  # rad/symbol
+    ebits = rng.integers(0, 2, size=(2, burst.ebits)).astype(np.uint8)
+    x1 = np.array(modem.mod(burst, ebits))
+    cap = channel(x1, sps, delay=8, freq_err_per_sym=f, win=win)
+    res = modem.demod(burst, cap, sps, win)
+    np.testing.assert_allclose(np.array(res.freq_err), f, atol=2e-3)
+    np.testing.assert_array_equal(sbit_to_hard(res.ebits), ebits)
+    # and with the shift pre-compensated, error reads ~0
+    res2 = modem.demod(burst, cap, sps, win, freq_shift=-f)
+    assert np.all(np.abs(np.array(res2.freq_err)) < 2e-3)
+
+
+def test_demod_sync_id_selection(rng):
+    # NT3 FACCH's alternating sync patterns are |corr|-ambiguous at
+    # +-1 symbol shifts, so the receiver constrains its search window to
+    # 1.5 symbols (gmr1_rx.c:549-550); mirror that here.
+    burst = BU.NT3_FACCH  # two sync sequences
+    sps = 4
+    win = sps + sps // 2
+    ebits = rng.integers(0, 2, size=(2, burst.ebits)).astype(np.uint8)
+    for sid in (0, 1):
+        x1 = np.array(modem.mod(burst, ebits, sync_id=sid))
+        cap = channel(x1, sps, delay=3, rng=rng, sigma=0.05, win=win)
+        res = modem.demod(burst, cap, sps, win)
+        assert np.all(np.array(res.sync_id) == sid)
+        np.testing.assert_array_equal(sbit_to_hard(res.ebits), ebits)
+
+
+def test_demod_sps1_fractional(rng):
+    burst = BU.NT3_SPEECH
+    sps, win = 1, 8
+    ebits = rng.integers(0, 2, size=(2, burst.ebits)).astype(np.uint8)
+    x1 = np.array(modem.mod(burst, ebits))
+    cap = channel(x1, sps, delay=3, rng=rng, sigma=0.02, win=win)
+    res = modem.demod(burst, cap, sps, win)
+    np.testing.assert_array_equal(sbit_to_hard(res.ebits), ebits)
+    assert np.all(np.abs(np.array(res.toa) - 3) < 0.5)
+
+
+def test_detect_burst_type(rng):
+    sps, win = 4, 12
+    types = (BU.NT3_FACCH, BU.NT3_SPEECH)
+    for true_id, burst in enumerate(types):
+        ebits = rng.integers(0, 2, size=(2, burst.ebits)).astype(np.uint8)
+        x1 = np.array(modem.mod(burst, ebits))
+        cap = channel(x1, sps, delay=6, rng=rng, sigma=0.05, win=win)
+        bt_id, sync_id, toa, pwr = modem.detect(types, cap, sps, win,
+                                                e_toa=float(win // 2))
+        assert np.all(np.array(bt_id) == true_id), burst.name
+
+
+def test_mod_order(rng):
+    sps, win = 4, 0
+    q = BU.NT3_SPEECH  # QPSK
+    b = BU.NT3_FACCH   # BPSK
+    eq = rng.integers(0, 2, size=(1, q.ebits)).astype(np.uint8)
+    eb = rng.integers(0, 2, size=(1, b.ebits)).astype(np.uint8)
+    xq = channel(np.array(modem.mod(q, eq)), sps, 0, win=0)
+    xb = channel(np.array(modem.mod(b, eb)), sps, 0, win=0)
+    assert int(np.array(modem.mod_order(xq, sps))[0]) == 4
+    assert int(np.array(modem.mod_order(xb, sps))[0]) == 2
+
+
+def test_soft_bit_quantizer_scale(rng):
+    # Clean signal -> all soft bits at +-127; noisy -> reduced magnitudes
+    burst = BU.DC2
+    ebits = rng.integers(0, 2, size=(1, burst.ebits)).astype(np.uint8)
+    x1 = np.array(modem.mod(burst, ebits))
+    cap = channel(x1, 4, delay=4, win=8)
+    res = modem.demod(burst, cap, 4, 8)
+    mags = np.abs(np.array(res.ebits))
+    assert np.all(mags >= 120)
+    capn = channel(x1, 4, delay=4, win=8, rng=rng, sigma=0.4)
+    resn = modem.demod(burst, capn, 4, 8)
+    assert np.abs(np.array(resn.ebits)).mean() < 120
