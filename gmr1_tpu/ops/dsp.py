@@ -2,10 +2,11 @@
 
 Replaces the osmo_cxvec_* kernels the reference leans on (SURVEY.md
 §2.6): signal normalization, strided correlation, windowed peak search
-with sub-sample interpolation, sinc fractional-delay, FFT correlation.
-Everything is batched over a leading axis and built from gathers +
-matmuls + FFTs so XLA maps it onto the MXU/VPU; there are no
-data-dependent shapes.
+with sub-sample interpolation, sinc fractional-delay, long correlation.
+All signals are PLANAR complex — float32 with a trailing (re, im) axis
+(see ops/cplx.py; the axon TPU backend has no complex64) — batched over
+leading axes and built from gathers + matmuls so XLA maps everything
+onto the MXU/VPU with static shapes.
 
 Sub-sample peak interpolation note: libosmo-dsp's PEAK_EARLY_LATE /
 PEAK_WEIGH_WIN are reimplemented (parabolic / energy-centroid) to match
@@ -20,28 +21,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cplx
+
 PEAK_EARLY_LATE = "early_late"
 PEAK_WEIGH_WIN = "weigh_win"
 
 
 def sig_normalize(x, decim: int, freq_shift):
-    """Decimate, frequency-shift, and amplitude-normalize a signal.
+    """Decimate, frequency-shift, and amplitude-normalize a planar signal.
 
-    out[..., i] = x[..., i*decim] * exp(1j*freq_shift*i), scaled to unit
-    average energy.  freq_shift is radians per OUTPUT sample (matching
-    osmo_cxvec_sig_normalize as used at reference fcch.c:230 — rad/sym
-    with decim=sps — and pi4cxpsk.c:539 — rad/sample with decim=1).
-    freq_shift may be a scalar or a per-batch array (...,).
+    out[..., i, :] = x[..., i*decim, :] * exp(1j*freq_shift*i), scaled to
+    unit average energy.  freq_shift is radians per OUTPUT sample
+    (matching osmo_cxvec_sig_normalize as used at reference fcch.c:230 —
+    rad/sym with decim=sps — and pi4cxpsk.c:539 — rad/sample, decim=1).
+    freq_shift may be scalar or per-batch (...,).
     """
-    x = jnp.asarray(x)
-    y = x[..., ::decim]
-    n = y.shape[-1]
+    x = jnp.asarray(x, jnp.float32)
+    y = x[..., ::decim, :]
+    n = y.shape[-2]
     i = jnp.arange(n, dtype=jnp.float32)
     shift = jnp.asarray(freq_shift, jnp.float32)[..., None]
-    rot = jnp.exp(1j * shift * i).astype(jnp.complex64)
-    y = y * rot
-    energy = jnp.mean(jnp.abs(y) ** 2, axis=-1, keepdims=True)
-    return y * jax.lax.rsqrt(jnp.maximum(energy, 1e-30)).astype(jnp.complex64)
+    y = cplx.mul(y, cplx.expi(shift * i))
+    energy = jnp.mean(cplx.abs2(y), axis=-1, keepdims=True)
+    return y * jax.lax.rsqrt(jnp.maximum(energy, 1e-30))[..., None]
 
 
 @lru_cache(maxsize=None)
@@ -54,31 +56,59 @@ def _window_idx(n_out: int, ref_len: int, step: int) -> np.ndarray:
 def correlate(ref, win, step: int):
     """Strided sliding correlation (osmo_cxvec_correlate semantics).
 
-    out[..., k] = sum_j conj(ref[j]) * win[..., k + j*step]
-    for k in [0, win_len - ref_len*step + 1).
+    out[..., k, :] = sum_j conj(ref[j]) * win[..., k + j*step, :]
+    for k in [0, win_len - ref_len*step + 1).  ref: (L, 2) planar.
     """
-    ref = jnp.asarray(ref, jnp.complex64)
-    win = jnp.asarray(win, jnp.complex64)
-    n_out = win.shape[-1] - ref.shape[-1] * step + 1
-    idx = jnp.asarray(_window_idx(n_out, ref.shape[-1], step))
-    gath = win[..., idx]  # (..., n_out, ref_len)
-    return gath @ jnp.conj(ref)
+    ref = jnp.asarray(ref, jnp.float32)
+    win = jnp.asarray(win, jnp.float32)
+    n_out = win.shape[-2] - ref.shape[-2] * step + 1
+    idx = jnp.asarray(_window_idx(n_out, ref.shape[-2], step))
+    gath = win[..., idx, :]  # (..., n_out, L, 2)
+    gr, gi = gath[..., 0], gath[..., 1]
+    rr, ri = ref[..., 0], ref[..., 1]
+    out_re = gr @ rr + gi @ ri
+    out_im = gi @ rr - gr @ ri
+    return jnp.stack([out_re, out_im], axis=-1)
+
+
+def correlate_conv(ref, win):
+    """Unstrided linear correlation via XLA convolution for LONG windows.
+
+    out[..., k, :] = sum_j conj(ref[j]) * win[..., k+j, :].  Uses
+    conv_general_dilated with 2 feature channels (re, im), which XLA
+    tiles onto the MXU — the replacement for the reference's FFT-based
+    overlap-save plans (fcch.c:583) on a backend without complex FFTs.
+    """
+    ref = np.asarray(ref, np.float32)
+    win = jnp.asarray(win, jnp.float32)
+    batch_shape = win.shape[:-2]
+    l = win.shape[-2]
+    x = win.reshape(-1, l, 2).transpose(0, 2, 1)  # (B, C=2, W)
+    rr, ri = ref[..., 0], ref[..., 1]
+    # kernel layout (out_ch, in_ch, K)
+    k = np.stack([np.stack([rr, ri]), np.stack([-ri, rr])]).astype(np.float32)
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(k), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # (B, 2, W-K+1)
+    y = y.transpose(0, 2, 1)
+    return y.reshape(*batch_shape, y.shape[-2], 2)
 
 
 def peak_energy_find(v, wl: int, mode: str):
-    """Windowed peak search with sub-sample refinement.
+    """Windowed peak search with sub-sample refinement on planar v.
 
     Returns (toa, peak_val): fractional peak position (...,) float32 and
-    the complex value at the integer peak (...,).  Equivalent role to
-    osmo_cxvec_peak_energy_find (used at pi4cxpsk.c:240, fcch.c:238,596).
+    the planar complex value at the integer peak (..., 2).  Equivalent
+    role to osmo_cxvec_peak_energy_find (pi4cxpsk.c:240, fcch.c:238,596).
     """
-    v = jnp.asarray(v, jnp.complex64)
-    e = jnp.abs(v) ** 2
+    v = jnp.asarray(v, jnp.float32)
+    e = cplx.abs2(v)
     n = e.shape[-1]
     half = wl // 2
     ew = _moving_sum(e, wl)
     idx = jnp.argmax(ew, axis=-1)
-    peak_val = jnp.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
+    peak_val = jnp.take_along_axis(v, idx[..., None, None], axis=-2)[..., 0, :]
 
     if mode == PEAK_EARLY_LATE:
         im = jnp.clip(idx - 1, 0, n - 1)
@@ -113,7 +143,7 @@ def _moving_sum(e, wl: int):
 
 def peaks_scan(v, k: int):
     """Indices of the k highest-energy bins, descending (osmo_cxvec_peaks_scan)."""
-    e = jnp.abs(jnp.asarray(v)) ** 2
+    e = cplx.abs2(jnp.asarray(v))
     _, idx = jax.lax.top_k(e, k)
     return idx
 
@@ -124,37 +154,19 @@ def _sinc_base(n_taps: int) -> np.ndarray:
 
 
 def fractional_delay(x, frac, n_taps: int = 21):
-    """Shift x (..., L) by a per-batch fractional offset via sinc interp.
+    """Shift planar x (..., L, 2) by per-batch frac: out[n] ~= x(n + frac).
 
-    Matches the reference's alignment filter (pi4cxpsk.c:310-326):
-    out[n] ~= x(n + frac), frac in (-0.5, 0.5), 21-tap windowed sinc.
+    Matches the reference's alignment filter (pi4cxpsk.c:310-326),
+    21-tap windowed sinc, frac in (-0.5, 0.5).
     """
-    x = jnp.asarray(x, jnp.complex64)
+    x = jnp.asarray(x, jnp.float32)
     frac = jnp.asarray(frac, jnp.float32)
     base = jnp.asarray(_sinc_base(n_taps))
     taps = jnp.sinc(base - frac[..., None])  # (..., n_taps)
     half = n_taps // 2
-    pad = [(0, 0)] * (x.ndim - 1) + [(half, half)]
+    pad = [(0, 0)] * (x.ndim - 2) + [(half, half), (0, 0)]
     xp = jnp.pad(x, pad)
-    n = x.shape[-1]
+    n = x.shape[-2]
     idx = jnp.asarray(_window_idx(n, n_taps, 1))
-    gath = xp[..., idx]  # (..., L, n_taps)
-    return jnp.sum(gath * taps[..., None, :], axis=-1)
-
-
-def fft_correlate(ref, win):
-    """Full linear correlation via FFT: out[k] = sum_j conj(ref[j]) win[k+j].
-
-    For long search windows (FCCH rough over 330/650 ms) this replaces
-    the O(L*M) time-domain correlate with O(L log L) — the TPU win
-    called out in SURVEY.md §7.4.
-    """
-    ref = jnp.asarray(ref, jnp.complex64)
-    win = jnp.asarray(win, jnp.complex64)
-    m = ref.shape[-1]
-    n_out = win.shape[-1] - m + 1
-    size = int(2 ** np.ceil(np.log2(win.shape[-1] + m)))
-    wf = jnp.fft.fft(win, size, axis=-1)
-    rf = jnp.fft.fft(jnp.conj(ref[::-1]), size, axis=-1)
-    full = jnp.fft.ifft(wf * rf, axis=-1)
-    return full[..., m - 1:m - 1 + n_out]
+    gath = xp[..., idx, :]  # (..., L, n_taps, 2)
+    return jnp.sum(gath * taps[..., None, :, None], axis=-2)

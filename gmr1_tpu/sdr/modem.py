@@ -1,4 +1,4 @@
-"""Batched pi/2-CBPSK / pi/4-CBPSK / pi/4-CQPSK modem.
+"""Batched pi/2-CBPSK / pi/4-CBPSK / pi/4-CQPSK modem (planar complex).
 
 TPU-native rebuild of the reference's data-driven burst demodulator
 (src/sdr/pi4cxpsk.c, SURVEY.md §2.1/§3.1).  One jitted kernel per
@@ -12,10 +12,11 @@ of burst windows at once:
   quantized soft bits (bit-exact re-implementation of the reference's
   quantizer, pi4cxpsk.c:479-499).
 
-Data-dependent choices (winning sync sequence, per-burst TOA) are
-handled branch-free: every candidate is computed and the winner is
-selected with jnp.where, the XLA-friendly form of the reference's
-sequential scan.
+All signals are planar complex float32 (..., time, 2) — the axon TPU
+backend has no complex64 (ops/cplx.py).  Data-dependent choices
+(winning sync sequence, per-burst TOA) are branch-free: every candidate
+is computed and the winner selected with jnp.where/take_along_axis, the
+XLA form of the reference's sequential scan.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dsp
+from ..ops import cplx, dsp
 from .bursts import Burst
 
 
@@ -39,51 +40,59 @@ class DemodResult(NamedTuple):
     pwr: jax.Array        # (...,) float32 normalized correlation power
 
 
-def _sync_correlate(burst: Burst, y, sps: int, w: int):
-    """Per-sync-id combined |correlation| and per-chunk complex corrs.
+def _ref_planar(burst: Burst, sid: int, ci: int) -> jnp.ndarray:
+    return jnp.asarray(cplx.planar_np(burst.sync_ref(sid)[ci]))
 
-    Returns (corr_sum [S][(..., w)], total_len [S]).
+
+def _sync_correlate(burst: Burst, y, sps: int):
+    """Per-sync-id combined |correlation| over the search window.
+
+    Returns (corr_abs [S] of (..., w), total_len [S]).
     """
-    corr_sums = []
-    totals = []
+    w = y.shape[-2] - burst.len_syms * sps + 1
+    corr_abs, totals = [], []
     for sid in range(burst.n_sync):
         acc = None
         tl = 0
-        for chunk, ref in zip(burst.sync[sid], burst.sync_ref(sid)):
+        for ci, chunk in enumerate(burst.sync[sid]):
             b = chunk.pos * sps
-            seg = y[..., b:b + chunk.length * sps + w - 1]
-            c = dsp.correlate(jnp.asarray(ref), seg, sps)
-            a = jnp.abs(c)
+            seg = y[..., b:b + chunk.length * sps + w - 1, :]
+            c = dsp.correlate(_ref_planar(burst, sid, ci), seg, sps)
+            a = cplx.absv(c)
             acc = a if acc is None else acc + a
             tl += chunk.length
-        corr_sums.append(acc)
+        corr_abs.append(acc)
         totals.append(tl)
-    return corr_sums, totals
+    return corr_abs, totals
 
 
 @partial(jax.jit, static_argnames=("burst", "sps", "win"))
 def demod(burst: Burst, x, sps: int, win: int, freq_shift=0.0) -> DemodResult:
-    """Demodulate burst windows x (..., burst.len_syms*sps + win).
+    """Demodulate burst windows x (..., burst.len_syms*sps + win, 2).
 
     freq_shift is radians/symbol pre-applied (reference passes
     -freq_err); win is the TOA search window in samples.
     """
-    x = jnp.asarray(x, jnp.complex64)
+    x = jnp.asarray(x, jnp.float32)
     n_len = burst.len_syms
     rot = burst.mod.rotation
     y = dsp.sig_normalize(
         x, 1, (jnp.asarray(freq_shift, jnp.float32) - rot) / sps
     )
-    w = y.shape[-1] - n_len * sps + 1
+    w = y.shape[-2] - n_len * sps + 1
     assert w == win + 1, (w, win)
 
     # --- sync search over all sequences -------------------------------
-    corr_sums, totals = _sync_correlate(burst, y, sps, w)
+    corr_abs, totals = _sync_correlate(burst, y, sps)
     toas, pwrs = [], []
     for sid in range(burst.n_sync):
-        toa_s, peak = dsp.peak_energy_find(corr_sums[sid], 3, dsp.PEAK_EARLY_LATE)
+        # corr_abs is already a magnitude; feed it as a planar vector
+        # with zero imag so peak finding sees the same energies.
+        planar = jnp.stack([corr_abs[sid], jnp.zeros_like(corr_abs[sid])],
+                           axis=-1)
+        toa_s, peak = dsp.peak_energy_find(planar, 3, dsp.PEAK_EARLY_LATE)
         toas.append(toa_s)
-        pwrs.append(jnp.abs(peak / totals[sid]) ** 2)
+        pwrs.append(cplx.abs2(peak) / float(totals[sid]) ** 2)
     toa_all = jnp.stack(toas, axis=-1)   # (..., S)
     pwr_all = jnp.stack(pwrs, axis=-1)
     sync_id = jnp.argmax(pwr_all, axis=-1).astype(jnp.int32)
@@ -92,56 +101,55 @@ def demod(burst: Burst, x, sps: int, win: int, freq_shift=0.0) -> DemodResult:
 
     # --- align & decimate to 1 sps ------------------------------------
     d_int = jnp.round(toa).astype(jnp.int32)
-    d_int = jnp.clip(d_int, 0, y.shape[-1] - 1 - (n_len - 1) * sps)
+    d_int = jnp.clip(d_int, 0, y.shape[-2] - 1 - (n_len - 1) * sps)
     if sps < 4:
         frac = toa - jnp.round(toa)
         y = dsp.fractional_delay(y, frac)
     idx = d_int[..., None] + jnp.arange(n_len) * sps
-    z = jnp.take_along_axis(y, idx, axis=-1)  # (..., len_syms)
+    z = jnp.take_along_axis(y, idx[..., None], axis=-2)  # (..., len_syms, 2)
 
     # --- fine frequency from inter-chunk phase slope ------------------
     freq_errs = []
     for sid in range(burst.n_sync):
         chunks = burst.sync[sid]
-        refs = burst.sync_ref(sid)
         if len(chunks) < 2:
-            freq_errs.append(jnp.zeros(z.shape[:-1], jnp.float32))
+            freq_errs.append(jnp.zeros(z.shape[:-2], jnp.float32))
             continue
         corrs, centers = [], []
-        for chunk, ref in zip(chunks, refs):
-            seg = z[..., chunk.pos:chunk.pos + chunk.length]
-            corrs.append(seg @ jnp.conj(jnp.asarray(ref)))
+        for ci, chunk in enumerate(chunks):
+            seg = z[..., chunk.pos:chunk.pos + chunk.length, :]
+            corrs.append(cplx.conj_dot(_ref_planar(burst, sid, ci), seg))
             centers.append(chunk.pos + chunk.length / 2.0)
         f = 0.0
         for i in range(1, len(corrs)):
-            f = f + (jnp.angle(corrs[i] * jnp.conj(corrs[i - 1]))
+            f = f + (cplx.angle(cplx.conj_mul(corrs[i - 1], corrs[i]))
                      / (centers[i] - centers[i - 1]))
         freq_errs.append(f / (len(corrs) - 1))
     freq_err = jnp.stack(freq_errs, axis=-1)
     freq_err = jnp.take_along_axis(freq_err, sync_id[..., None], axis=-1)[..., 0]
 
-    z = z * jnp.exp(-1j * freq_err[..., None]
-                    * jnp.arange(n_len, dtype=jnp.float32))
+    z = cplx.mul(z, cplx.expi(-freq_err[..., None]
+                              * jnp.arange(n_len, dtype=jnp.float32)))
 
     # --- phase alignment via the sync sequence ------------------------
     phasors = []
     for sid in range(burst.n_sync):
-        acc = 0.0
-        for chunk, ref in zip(burst.sync[sid], burst.sync_ref(sid)):
-            seg = z[..., chunk.pos:chunk.pos + chunk.length]
-            acc = acc + seg @ jnp.conj(jnp.asarray(ref))
+        acc = jnp.zeros((*z.shape[:-2], 2), jnp.float32)
+        for ci, chunk in enumerate(burst.sync[sid]):
+            seg = z[..., chunk.pos:chunk.pos + chunk.length, :]
+            acc = acc + cplx.conj_dot(_ref_planar(burst, sid, ci), seg)
         phasors.append(acc)
     phasor = jnp.take_along_axis(
-        jnp.stack(phasors, axis=-1), sync_id[..., None], axis=-1
-    )[..., 0]
-    phasor = phasor / jnp.maximum(jnp.abs(phasor), 1e-30)
-    z = z * jnp.conj(phasor)[..., None]
+        jnp.stack(phasors, axis=-2), sync_id[..., None, None], axis=-2
+    )[..., 0, :]
+    phasor = cplx.normalize(phasor)
+    z = cplx.mul(z, cplx.conj(phasor)[..., None, :])
 
     # --- phase -> soft symbols -> soft bits ---------------------------
     nbits = burst.mod.nbits
     m_syms = 1 << nbits
     d_scale = m_syms / (2.0 * np.pi)
-    ssyms = jnp.angle(z) * d_scale
+    ssyms = cplx.angle(z) * d_scale
     sv = ssyms[..., jnp.asarray(burst.data_positions)]  # (..., nd)
     svr = jnp.round(sv)
     sp = jnp.mod(svr.astype(jnp.int32), m_syms)
@@ -169,21 +177,21 @@ def detect(bursts: tuple[Burst, ...], x, sps: int, win: int,
     e_toa >= 0 the candidate powers are divided by |e_toa - toa|
     (pi4cxpsk.c:657-659).
     """
-    x = jnp.asarray(x, jnp.complex64)
+    x = jnp.asarray(x, jnp.float32)
     rot = bursts[0].mod.rotation
     y = dsp.sig_normalize(
         x, 1, (jnp.asarray(freq_shift, jnp.float32) - rot) / sps
     )
-    ids, sids, toas, pwrs = [], [], [], []
+    sids, toas, pwrs = [], [], []
     for bt in bursts:
-        w = y.shape[-1] - bt.len_syms * sps + 1
-        corr_sums, totals = _sync_correlate(bt, y, sps, w)
+        corr_abs, totals = _sync_correlate(bt, y, sps)
         t_s, p_s = [], []
         for sid in range(bt.n_sync):
-            toa_s, peak = dsp.peak_energy_find(corr_sums[sid], 3,
-                                               dsp.PEAK_EARLY_LATE)
+            planar = jnp.stack([corr_abs[sid], jnp.zeros_like(corr_abs[sid])],
+                               axis=-1)
+            toa_s, peak = dsp.peak_energy_find(planar, 3, dsp.PEAK_EARLY_LATE)
             t_s.append(toa_s)
-            p_s.append(jnp.abs(peak / totals[sid]) ** 2)
+            p_s.append(cplx.abs2(peak) / float(totals[sid]) ** 2)
         t_all = jnp.stack(t_s, axis=-1)
         p_all = jnp.stack(p_s, axis=-1)
         sid = jnp.argmax(p_all, axis=-1)
@@ -208,21 +216,21 @@ def detect(bursts: tuple[Burst, ...], x, sps: int, win: int,
 def mod_order(x, sps: int, freq_shift=0.0):
     """Blind BPSK-vs-QPSK detect by comparing |sum x^2| vs |sum x^4|
     (gmr1_pi4cxpsk_mod_order, pi4cxpsk.c:694-729).  Returns 2 or 4."""
-    x = jnp.asarray(x, jnp.complex64)
+    x = jnp.asarray(x, jnp.float32)
     y = dsp.sig_normalize(
         x, 1, (jnp.asarray(freq_shift, jnp.float32) - np.pi / 4) / sps
     )
-    v = y * y / jnp.maximum(jnp.abs(y) ** 2, 1e-30)
-    sb = jnp.sum(v, axis=-1)
-    sq = jnp.sum(v * v, axis=-1)
-    pb = jnp.abs(sb) ** 2
-    pq = jnp.abs(sq) ** 2
+    v = cplx.mul(y, y) / jnp.maximum(cplx.abs2(y), 1e-30)[..., None]
+    sb = jnp.sum(v, axis=-2)
+    sq = jnp.sum(cplx.mul(v, v), axis=-2)
+    pb = cplx.abs2(sb)
+    pq = cplx.abs2(sq)
     return jnp.where(pb < pq / 2.0, 4, 2)
 
 
 @partial(jax.jit, static_argnames=("burst", "sync_id"))
 def mod(burst: Burst, ebits, sync_id: int = 0):
-    """Modulate hard ebits (..., burst.ebits) -> (..., len_syms) complex64
+    """Modulate hard ebits (..., burst.ebits) -> planar (..., len_syms, 2)
     at 1 sps (gmr1_pi4cxpsk_mod, pi4cxpsk.c:742-799)."""
     ebits = jnp.asarray(ebits, jnp.int32)
     nbits = burst.mod.nbits
@@ -235,19 +243,18 @@ def mod(burst: Burst, ebits, sync_id: int = 0):
 
     syms = jnp.zeros((*ebits.shape[:-1], burst.len_syms), jnp.int32)
     syms = syms.at[..., jnp.asarray(burst.data_positions)].set(sym_idx)
-    out = jnp.asarray(burst.mod.sym_val)[syms]
+    sym_val = jnp.asarray(cplx.planar_np(burst.mod.sym_val))
+    out = sym_val[syms]  # (..., len_syms, 2)
     # sync sequence overrides
     for chunk in burst.sync[sync_id]:
-        ref = jnp.asarray(burst.mod.sym_val[np.asarray(chunk.syms)])
-        ref = jnp.broadcast_to(ref, (*out.shape[:-1], chunk.length))
-        out = jax.lax.dynamic_update_slice_in_dim(
-            out, ref, chunk.pos, axis=-1
-        )
+        ref = jnp.asarray(cplx.planar_np(burst.mod.sym_val[np.asarray(chunk.syms)]))
+        ref = jnp.broadcast_to(ref, (*out.shape[:-2], chunk.length, 2))
+        out = jax.lax.dynamic_update_slice_in_dim(out, ref, chunk.pos, axis=-2)
     # guard symbols zeroed
     guard = np.ones(burst.len_syms, np.float32)
     guard[:burst.guard_pre] = 0
     guard[burst.len_syms - burst.guard_post:] = 0
-    out = out * jnp.asarray(guard)
+    out = out * jnp.asarray(guard)[:, None]
     # continuous rotation
     i = jnp.arange(burst.len_syms, dtype=jnp.float32)
-    return (out * jnp.exp(1j * burst.mod.rotation * i)).astype(jnp.complex64)
+    return cplx.mul(out, cplx.expi(burst.mod.rotation * i))

@@ -13,24 +13,26 @@ from gmr1_tpu.sdr import modem
 
 
 def channel(x1, sps, delay, freq_err_per_sym=0.0, sigma=0.0, win=20, rng=None):
-    """1-sps modulated burst -> band-limited oversampled windowed capture.
+    """1-sps planar modulated burst -> band-limited oversampled capture.
 
     Sinc-interpolates the symbol stream to sps samples/symbol (supports
     fractional `delay` in samples), applies a carrier offset and AWGN.
+    Input and output are planar complex (..., N, 2) float32.
     """
     x1 = np.asarray(x1)
-    nsym = x1.shape[-1]
+    xc = x1[..., 0] + 1j * x1[..., 1]
+    nsym = xc.shape[-1]
     total = nsym * sps + win
     n = np.arange(total)
     # sample n sits at symbol time (n - delay)/sps
     t = (n[:, None] - delay) / sps - np.arange(nsym)[None, :]
     h = np.sinc(t).astype(np.float32)
-    out = x1 @ h.T
+    out = xc @ h.T
     out = out * np.exp(1j * freq_err_per_sym / sps * n)
     if sigma and rng is not None:
         noise = rng.normal(0, sigma / np.sqrt(2), (*out.shape, 2))
         out = out + (noise[..., 0] + 1j * noise[..., 1])
-    return out.astype(np.complex64)
+    return np.stack([out.real, out.imag], axis=-1).astype(np.float32)
 
 
 def sbit_to_hard(e):
