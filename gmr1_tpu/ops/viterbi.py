@@ -86,11 +86,13 @@ def decode(code: ConvCode, soft, in_len: int):
     # Scan carries (..., S) metrics; move time in front.
     bm = jnp.moveaxis(bm, -3, 0)  # (T, ..., S, 2)
 
+    # Derive the initial metrics from bm (not from shapes alone) so the
+    # scan carry inherits bm's sharding/varying axes under shard_map.
+    zero = bm[0, ..., 0] * 0.0  # (..., S)
     if code.term == TERM_FLUSH:
-        m0 = jnp.full((*batch_shape, s_cnt), NEG_INF, jnp.float32)
-        m0 = m0.at[..., 0].set(0.0)
+        m0 = zero + jnp.where(jnp.arange(s_cnt) == 0, 0.0, NEG_INF)
     else:
-        m0 = jnp.zeros((*batch_shape, s_cnt), jnp.float32)
+        m0 = zero
 
     def acs(m, bm_t):
         c0 = m[..., p0] + bm_t[..., p0, b_of]
@@ -111,7 +113,7 @@ def decode(code: ConvCode, soft, in_len: int):
     metric_total = jnp.sum(step_max, axis=0)
 
     if code.term == TERM_FLUSH:
-        end_state = jnp.zeros(batch_shape, jnp.int32)
+        end_state = (m_final[..., 0] * 0).astype(jnp.int32)
         end_bias = m_final[..., 0] - jnp.max(m_final, axis=-1)
     else:
         end_state = jnp.argmax(m_final, axis=-1).astype(jnp.int32)
