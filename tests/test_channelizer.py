@@ -1,0 +1,124 @@
+"""Channelizer tests: grid math, tone isolation, end-to-end burst decode."""
+
+import numpy as np
+import pytest
+
+from gmr1_tpu.channelizer import (BASE_BANDWIDTH, BASE_SYMRATE, ArbResampler,
+                                  Channel, Channelizer, align_freq)
+from gmr1_tpu.l1 import bcch
+from gmr1_tpu.ops import cplx
+from gmr1_tpu.sdr import bursts as BU
+from gmr1_tpu.sdr import modem
+
+
+def test_arfcn_grid():
+    c = Channel(100)
+    assert c.frequency == 1525e6 + 31.25e3 * 100     # odd width: on grid
+    c2 = Channel(100, width=2)
+    assert c2.frequency == 1525e6 + 31.25e3 * 100.5  # even width: +0.5
+    c3 = Channel.parse("U123x3")
+    assert c3.uplink and c3.width == 3 and c3.arfcn == 123
+    assert c3.symbol_rate == 3 * BASE_SYMRATE
+    assert Channel(10, width=3).arfcns == [9, 10, 11]
+    assert align_freq(1525e6 + 31250 * 7 + 900.0) == 1525e6 + 31250 * 7
+
+
+def test_arb_resampler_tone(rng):
+    """A tone must survive resampling with the right frequency."""
+    fs_in, ratio = 62500.0, 93600.0 / 62500.0
+    f = 5000.0
+    n = 4096
+    t = np.arange(n) / fs_in
+    x = np.exp(2j * np.pi * f * t).astype(np.complex64)
+    r = ArbResampler(ratio)
+    y = cplx.to_complex(np.asarray(r(cplx.from_complex(x))))
+    y = y[200:-200]                      # skip edges
+    # measure frequency by phase slope
+    dphi = np.angle(y[1:] * np.conj(y[:-1]))
+    f_meas = np.median(dphi) * fs_in * ratio / (2 * np.pi)
+    assert abs(f_meas - f) < 20.0
+    assert np.std(np.abs(y)) < 0.03      # flat envelope
+
+
+CENTER = 1525e6 + 31250 * 512            # aligned to grid
+
+
+def make_wideband(rng, fs, sigs, n, noise=1e-4):
+    """sigs: list of (freq offset Hz from CENTER, complex stream at fs)."""
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * noise
+    t = np.arange(n) / fs
+    for df, s in sigs:
+        x[:len(s)] += s[:n] * np.exp(2j * np.pi * df * t[:len(s)])
+    return x.astype(np.complex64)
+
+
+def test_tone_isolation(rng):
+    fs = 1e6
+    chz = Channelizer(fs, CENTER)
+    a1, a2 = Channel(512 + 3), Channel(512 - 5)
+    n = 65536
+    t = np.arange(n) / fs
+    sigs = [(a.frequency - CENTER, np.ones(n, np.complex64)
+             * np.exp(2j * np.pi * 1000.0 * t)) for a in (a1, a2)]
+    wb = make_wideband(rng, fs, sigs, n)
+    bank = np.asarray(chz.process(cplx.from_complex(wb)))
+    e = (bank[..., 0] ** 2 + bank[..., 1] ** 2).mean(axis=0)
+    i1, i2 = chz.freq2index(a1.frequency), chz.freq2index(a2.frequency)
+    # the two occupied channels dominate
+    order = np.argsort(e)[::-1]
+    assert set(order[:2]) == {i1, i2}
+    # rejection in a far-away channel > 40 dB
+    far = chz.freq2index(Channel(512 + 10).frequency)
+    assert e[far] < e[i1] * 1e-4
+
+
+def test_channelize_extract_decode(rng):
+    """BCCH burst on a carrier inside a wideband capture -> bit-exact."""
+    fs = 500e3
+    sps = 4
+    chz = Channelizer(fs, CENTER, sps=sps)
+    ch = Channel(512 + 2)
+
+    l2 = rng.integers(0, 256, size=(1, 24), dtype=np.uint8)
+    x1 = np.asarray(modem.mod(BU.BCCH, np.asarray(bcch.encode(l2))))[0]
+    # upsample burst to fs via zero-stuff + lowpass-by-sinc interp
+    xc = cplx.to_complex(x1)
+    ratio = fs / BASE_SYMRATE            # samples per symbol at fs
+    n = int((len(xc) + 30) * ratio)
+    tt = np.arange(n) / ratio - 10.0     # 10-symbol lead-in
+    mat = np.sinc(tt[:, None] - np.arange(len(xc))[None, :])
+    s = (mat @ xc).astype(np.complex64)
+
+    wb = make_wideband(rng, fs, [(ch.frequency - CENTER, s)],
+                       n + 4096, noise=1e-3)
+    bank = chz.process(cplx.from_complex(wb))
+    stream = np.asarray(chz.extract(bank, ch))
+
+    # the demod searches a window; feed the whole stream
+    blen = BU.BCCH.len_syms * sps
+    win = stream.shape[0] - blen
+    r = modem.demod(BU.BCCH, stream, sps=sps, win=win)
+    l2d, bad, _ = bcch.decode(r.ebits)
+    assert not int(np.asarray(bad))
+    np.testing.assert_array_equal(np.asarray(l2d), l2[0])
+
+
+def test_wide_carrier_tone(rng):
+    """Width-3 carrier: a tone off-center beyond one subchannel must
+    reconstruct cleanly in the recombined stream."""
+    fs = 1e6
+    chz = Channelizer(fs, CENTER, need_nx=True)
+    ch = Channel(512, width=3)
+    f_tone = 30e3                        # inside width-3, outside width-1
+    n = 65536
+    t = np.arange(n) / fs
+    s = np.exp(2j * np.pi * (ch.frequency - CENTER + f_tone) * t)
+    wb = make_wideband(rng, fs, [(0.0, s * 0 + 0)], n)  # noise base
+    wb = (wb + s * np.exp(0j)).astype(np.complex64)
+    bank = chz.process(cplx.from_complex(wb))
+    y = cplx.to_complex(np.asarray(chz.extract(bank, ch)))[500:-500]
+    out_rate = ch.symbol_rate * 4
+    dphi = np.angle(y[1:] * np.conj(y[:-1]))
+    f_meas = np.median(dphi) * out_rate / (2 * np.pi)
+    assert abs(f_meas - f_tone) < 100.0
+    assert np.std(np.abs(y)) / np.mean(np.abs(y)) < 0.1
