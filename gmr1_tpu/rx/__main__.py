@@ -1,0 +1,68 @@
+"""Receiver CLI (reference src/gmr1_rx.c:913 usage).
+
+    python -m gmr1_tpu.rx SPS BCCH.cfile [TCH.cfile [KEYHEX [TCH_CSD.cfile]]]
+
+Options: --pcap FILE (also write GSMTap to pcap), --no-udp, --fcch3-l,
+--fcch3-s (FCCH3 burst variants), -v.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..sdr import fcch
+from . import CFile, GsmtapSink, Receiver
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="gmr1_tpu.rx",
+        description="GMR-1 receiver: BCCH/CCCH/TCH3/TCH9 from cfile captures")
+    ap.add_argument("sps", type=int)
+    ap.add_argument("bcch")
+    ap.add_argument("tch", nargs="?")
+    ap.add_argument("key", nargs="?", help="A5 key (16 hex digits)")
+    ap.add_argument("tch_csd", nargs="?")
+    ap.add_argument("--pcap", help="write GSMTap stream to a pcap file")
+    ap.add_argument("--no-udp", action="store_true")
+    ap.add_argument("--fcch3-l", action="store_true",
+                    help="use FCCH3 L-band burst")
+    ap.add_argument("--fcch3-s", action="store_true",
+                    help="use FCCH3 S-band burst")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    if not 1 <= args.sps <= 16:
+        print("[!] sps must be within [1,16]", file=sys.stderr)
+        return 1
+
+    kc = bytes.fromhex(args.key) if args.key else None
+    if kc is not None and len(kc) != 8:
+        print("[!] Invalid key", file=sys.stderr)
+        return 1
+
+    ft = fcch.FCCH
+    if args.fcch3_l:
+        ft = fcch.FCCH3_LBAND
+    if args.fcch3_s:
+        ft = fcch.FCCH3_SBAND
+
+    sink = GsmtapSink(host=None if args.no_udp else "127.0.0.1",
+                      pcap_path=args.pcap)
+    rx = Receiver(
+        CFile(args.bcch), args.sps,
+        tch_file=CFile(args.tch) if args.tch else None,
+        kc=kc,
+        tch_csd_file=CFile(args.tch_csd) if args.tch_csd else None,
+        sink=sink, fcch_type=ft, verbose=args.verbose)
+    n = rx.run()
+    print(f"[+] {n} L2 frames decoded "
+          f"({len(rx.speech)} speech, {len(rx.csd)} CSD blocks)",
+          file=sys.stderr)
+    sink.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,12 +43,12 @@ def make_packet(chan_type: int, fn: int, tn: int, l2: bytes) -> bytes:
         GSMTAP_VERSION,          # version
         4,                       # hdr_len in 32-bit words
         GSMTAP_TYPE_GMR1_UM,     # type
-        tn & 0xFF,               # timeslot
+        int(tn) & 0xFF,          # timeslot
         0,                       # arfcn
         0,                       # signal_dbm
         0,                       # snr_db
-        fn & 0xFFFFFFFF,         # frame_number (BE)
-        chan_type & 0xFF,        # sub_type
+        int(fn) & 0xFFFFFFFF,    # frame_number (BE)
+        int(chan_type) & 0xFF,   # sub_type
         0,                       # antenna_nr
         0,                       # sub_slot
         0)                       # res

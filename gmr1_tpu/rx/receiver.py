@@ -76,6 +76,7 @@ def bcch_tdma_align(cd: ChanDesc, l2: np.ndarray, sps: int) -> None:
     """Parse SI1 w/ Seg2Abis -> fn + slot realign (gmr1_rx.c:194-233)."""
     if (l2[0] & 0xF8) != 0x08 or (l2[9] & 0xFC) != 0x80:
         return
+    l2 = [int(b) for b in l2]
     sa_sirfn_delay = (l2[10] >> 3) & 0x0F
     sa_bcch_stn = ((l2[10] << 2) & 0x1C) | (l2[11] >> 6)
     superframe = ((l2[11] & 0x3F) << 7) | (l2[12] >> 1)
