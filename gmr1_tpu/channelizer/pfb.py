@@ -152,23 +152,24 @@ class ArbResampler:
                 k2.astype(np.int32), p2.astype(np.int32), frac)
 
     def __call__(self, x) -> jax.Array:
-        """Planar (N, 2) -> (floor(N*ratio), 2)."""
+        """Planar (..., N, 2) -> (..., floor(N*ratio), 2)."""
         x = jnp.asarray(x, jnp.float32)
-        n_in = x.shape[0]
+        n_in = x.shape[-2]
         n_out, k1, p1, k2, p2, frac = self._geometry(n_in)
         return self._run(x, k1, p1, k2, p2, frac)
 
     @partial(jax.jit, static_argnames=("self",))
     def _run(self, x, k1, p1, k2, p2, frac):
-        pad = jnp.zeros((self.tpb, 2), jnp.float32)
-        xp = jnp.concatenate([pad, x], axis=0)   # index k -> xp[k + tpb]
+        pad = jnp.zeros((*x.shape[:-2], self.tpb, 2), jnp.float32)
+        xp = jnp.concatenate([pad, x], axis=-2)  # index k -> xp[k + tpb]
         i = np.arange(self.tpb)
 
         def tap_out(k, p):
             idx = k[:, None] - i[None, :] + self.tpb
-            g = xp[jnp.clip(jnp.asarray(idx), 0, xp.shape[0] - 1)]
+            g = jnp.take(xp, jnp.clip(jnp.asarray(idx), 0,
+                                      xp.shape[-2] - 1), axis=-2)
             rows = jnp.asarray(self.branches)[jnp.asarray(p)]  # (n, tpb)
-            return jnp.einsum("nic,ni->nc", g, rows)
+            return jnp.einsum("...nic,ni->...nc", g, rows)
 
         y1 = tap_out(k1, p1)
         y2 = tap_out(k2, p2)
