@@ -19,8 +19,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .. import native
 from ..l1 import bcch, ccch, facch3, facch9, tch3, tch9
-from ..ops import a5
 from ..sdr import bursts as BU
 from ..sdr import dkab, fcch, modem
 from ..sdr.defs import SYM_RATE
@@ -65,11 +65,9 @@ class ChanDesc:           # gmr1_rx.c:93-115
 
 
 def burst_energy(win: np.ndarray) -> float:
-    """Mean |x|^2 excluding len>>5 border samples (gmr1_rx.c:172-182)."""
-    n = win.shape[0]
-    b = n >> 5
-    e = np.sum(win[b:n - b].astype(np.float64) ** 2)
-    return float(e / n)
+    """Mean |x|^2 excluding len>>5 border samples (gmr1_rx.c:172-182).
+    Delegates to the C++ kernel when built (gmr1_tpu.native)."""
+    return native.burst_energy(win)
 
 
 def bcch_tdma_align(cd: ChanDesc, l2: np.ndarray, sps: int) -> None:
@@ -162,7 +160,7 @@ class Receiver:
     def _a5(self, n: int, fn: int, nbits: int) -> np.ndarray | None:
         if n == 0:
             return None
-        return a5.keystream_np(self.kc, fn, nbits)[0]
+        return native.a5_keystream(self.kc, fn, nbits)[0]
 
     # --- acquisition (gmr1_rx.c:605-744) ---------------------------------
 
