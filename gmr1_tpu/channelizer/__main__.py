@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("-B", "--band", choices=("L", "S"), default="L")
     ap.add_argument("-o", "--outdir", default=".")
     ap.add_argument("--sps", type=int, default=4)
+    ap.add_argument("--mode", choices=("pfb", "direct"), default="pfb",
+                    help="polyphase channelizer or per-carrier DDC chains")
     ap.add_argument("--block", type=int, default=1 << 22,
                     help="wideband samples per processing block")
     args = ap.parse_args(argv)
@@ -35,12 +37,19 @@ def main(argv=None) -> int:
     from ..ops import cplx
     from ..rx.cfile import CFile
     from .arfcn import Channel
+    from .ddc import DirectDDC, DirectParams
     from .pfb import Channelizer
 
     chans = [Channel.parse(a, args.band) for a in args.arfcn]
     need_nx = any(c.width > 1 for c in chans)
-    chz = Channelizer(args.samp_rate, args.center_freq, sps=args.sps,
-                      need_nx=need_nx)
+    if args.mode == "pfb":
+        chz = Channelizer(args.samp_rate, args.center_freq, sps=args.sps,
+                          need_nx=need_nx)
+    else:
+        ddcs = {}
+        for c in chans:
+            p = DirectParams(args.samp_rate, c.symbol_rate, args.sps)
+            ddcs[str(c)] = DirectDDC(p, c.frequency - args.center_freq)
 
     cf = CFile(args.capture)
     outs = {}
@@ -51,9 +60,12 @@ def main(argv=None) -> int:
     n = len(cf)
     for beg in range(0, n, args.block):
         blk = cf.data[beg:min(beg + args.block, n)]
-        bank = chz.process(blk)
+        bank = chz.process(blk) if args.mode == "pfb" else None
         for c in chans:
-            stream = chz.extract(bank, c)
+            if args.mode == "pfb":
+                stream = chz.extract(bank, c)
+            else:
+                stream = ddcs[str(c)](blk)
             if stream is None:
                 print(f"[!] {c} outside capture bandwidth", file=sys.stderr)
                 continue

@@ -122,3 +122,32 @@ def test_wide_carrier_tone(rng):
     f_meas = np.median(dphi) * out_rate / (2 * np.pi)
     assert abs(f_meas - f_tone) < 100.0
     assert np.std(np.abs(y)) / np.mean(np.abs(y)) < 0.1
+
+
+def test_direct_ddc_decode(rng):
+    """Direct DDC mode: BCCH at an offset carrier -> bit-exact decode."""
+    from gmr1_tpu.channelizer.ddc import DirectDDC, DirectParams
+
+    fs, sps = 1e6, 4
+    p = DirectParams(fs, BASE_SYMRATE, sps)
+    assert p.decim1 > 1
+    l2 = rng.integers(0, 256, size=(1, 24), dtype=np.uint8)
+    x1 = np.asarray(modem.mod(BU.BCCH, np.asarray(bcch.encode(l2))))[0]
+    xc = cplx.to_complex(x1)
+    ratio = fs / BASE_SYMRATE
+    n = int((len(xc) + 30) * ratio)
+    tt = np.arange(n) / ratio - 10.0
+    s = (np.sinc(tt[:, None] - np.arange(len(xc))[None, :]) @ xc
+         ).astype(np.complex64)
+    f_off = 93.75e3   # 3 channels up
+    t = np.arange(n + 4096) / fs
+    wb = (rng.standard_normal(n + 4096)
+          + 1j * rng.standard_normal(n + 4096)) * 1e-3
+    wb[:n] += s * np.exp(2j * np.pi * f_off * t[:n])
+    ddc = DirectDDC(p, f_off)
+    stream = np.asarray(ddc(cplx.planar_np(wb.astype(np.complex64))))
+    blen = BU.BCCH.len_syms * sps
+    r = modem.demod(BU.BCCH, stream, sps=sps, win=stream.shape[0] - blen)
+    l2d, bad, _ = bcch.decode(r.ebits)
+    assert not int(np.asarray(bad))
+    np.testing.assert_array_equal(np.asarray(l2d), l2[0])
