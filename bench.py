@@ -1,8 +1,12 @@
-"""Headline benchmark: batched BCCH receive pipeline throughput.
+"""Headline benchmark: sustained BCCH receive-pipeline throughput.
 
-Runs the flagship step (pi4-CQPSK demod -> descramble/deinterleave ->
-Viterbi K=5 -> CRC16) on the local accelerator over a large batch of
-carrier burst windows and reports aggregate complex-sample throughput.
+Measures the flagship step (pi4-CQPSK demod -> descramble/deinterleave
+-> Viterbi K=5 -> CRC16) over HBM-resident burst batches.  The work
+loops K times inside ONE compiled graph (lax.scan) with fresh on-device
+noise per step, and only a reduced metric is read back — so the number
+reflects device compute, not the host link (on this rig the chip sits
+behind a ~30 ms RTT tunnel; jax.block_until_ready does not track real
+completion, host readback does).
 
 Baseline: the reference (osmo-gmr) is an offline single-threaded C
 decoder whose implicit contract is ONE carrier in real time — 93,600
@@ -32,46 +36,49 @@ def main() -> None:
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     from gmr1_tpu.l1 import bcch
-    from gmr1_tpu.ops import cplx
     from gmr1_tpu.sdr import bursts, modem
 
-    sps, win, batch = 4, 20, 512
+    sps, win, batch, k_steps = 4, 20, 1024, 32
     length = bursts.BCCH.len_syms * sps + win
 
-    # Real modulated bursts + noise so decode work is representative.
-    # One jitted prep call (zero-stuff upsample keeps it cheap).
+    # one batch of real modulated bursts, uploaded once
     rng = np.random.default_rng(0)
     l2 = jnp.asarray(rng.integers(0, 256, size=(batch, 24), dtype=np.uint8))
-    noise = jnp.asarray(
-        rng.standard_normal((batch, length, 2)).astype(np.float32) * 0.05)
 
     @jax.jit
-    def prep(l2, noise):
-        x1 = modem.mod(bursts.BCCH, bcch.encode(l2))  # (B, L, 2) at 1 sps
+    def prep(l2):
+        x1 = modem.mod(bursts.BCCH, bcch.encode(l2))
         up = jnp.zeros((batch, length, 2), jnp.float32)
-        up = up.at[:, 8:8 + x1.shape[1] * sps:sps].set(x1)
-        return up + noise
+        return up.at[:, 8:8 + x1.shape[1] * sps:sps].set(x1)
 
-    x = prep(l2, noise)
+    x_clean = prep(l2)
 
     @jax.jit
-    def step(x):
-        r = modem.demod(bursts.BCCH, x, sps=sps, win=win)
-        return bcch.decode(r.ebits)
+    def run(x_clean, seed):
+        def step(carry, key):
+            noise = 0.05 * jax.random.normal(key, x_clean.shape,
+                                             jnp.float32)
+            r = modem.demod(bursts.BCCH, x_clean + noise, sps=sps, win=win)
+            l2d, crc_fail, metric = bcch.decode(r.ebits)
+            return carry + jnp.sum(crc_fail), jnp.sum(metric)
+        keys = jax.random.split(jax.random.PRNGKey(seed), k_steps)
+        n_bad, metrics = jax.lax.scan(step, jnp.int32(0), keys)
+        return n_bad, jnp.sum(metrics)
 
-    # warmup/compile
-    out = step(x)
-    jax.block_until_ready(out)
-    assert not np.asarray(out[1]).any(), "CRC failures in bench data"
+    # warmup / compile; readback forces real completion
+    n_bad, _ = run(x_clean, 0)
+    assert int(np.asarray(n_bad)) == 0, "CRC failures in bench data"
 
-    iters = 30
+    iters = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(x)
-    jax.block_until_ready(out)
+    tot = 0
+    for i in range(1, iters + 1):
+        n_bad, m = run(x_clean, i)
+        tot += int(np.asarray(n_bad))   # host readback = completion fence
     dt = time.perf_counter() - t0
+    assert tot == 0
 
-    samples = batch * length * iters
+    samples = batch * length * k_steps * iters
     msps = samples / dt / 1e6
     realtime_per_carrier = 93_600 / 1e6  # Msamples/s, 1 carrier at 4 sps
     print(json.dumps({

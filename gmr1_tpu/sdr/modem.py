@@ -100,13 +100,21 @@ def demod(burst: Burst, x, sps: int, win: int, freq_shift=0.0) -> DemodResult:
     pwr = jnp.take_along_axis(pwr_all, sync_id[..., None], axis=-1)[..., 0]
 
     # --- align & decimate to 1 sps ------------------------------------
+    # The integer alignment is one of win+1 candidates, so instead of a
+    # data-dependent gather (slow general-gather on TPU) we take all
+    # win+1 statically-strided views and contract with a one-hot of the
+    # winning offset — a small matmul the MXU eats.
     d_int = jnp.round(toa).astype(jnp.int32)
     d_int = jnp.clip(d_int, 0, y.shape[-2] - 1 - (n_len - 1) * sps)
     if sps < 4:
         frac = toa - jnp.round(toa)
         y = dsp.fractional_delay(y, frac)
-    idx = d_int[..., None] + jnp.arange(n_len) * sps
-    z = jnp.take_along_axis(y, idx[..., None], axis=-2)  # (..., len_syms, 2)
+    n_off = w  # win + 1 candidate alignments
+    view_idx = (np.arange(n_off)[:, None]
+                + np.arange(n_len)[None, :] * sps)      # static (w, n_len)
+    views = y[..., jnp.asarray(view_idx), :]            # (..., w, n_len, 2)
+    onehot = jax.nn.one_hot(d_int, n_off, dtype=y.dtype)
+    z = jnp.einsum("...s,...skc->...kc", onehot, views)
 
     # --- fine frequency from inter-chunk phase slope ------------------
     freq_errs = []
@@ -155,9 +163,17 @@ def demod(burst: Burst, x, sps: int, win: int, freq_shift=0.0) -> DemodResult:
     sp = jnp.mod(svr.astype(jnp.int32), m_syms)
     ss = jnp.mod(jnp.where(svr > sv, sp - 1, sp + 1), m_syms)
     d = jnp.round(2.0 * jnp.abs(svr - sv) * 64.0).astype(jnp.int32)
-    bits_tab = jnp.asarray(burst.mod.bits_of_sym.astype(np.int32))
-    vp = bits_tab[sp]              # (..., nd, nbits)
-    vs = bits_tab[ss]
+
+    def sym_bits(s):
+        # Gray bit map in arithmetic form (no per-element table gather):
+        # BPSK s -> [s]; CQPSK s -> [s>>1, (s>>1)^(s&1)]
+        # (pi4cxpsk.c:71-99, same data as burst.mod.bits_of_sym)
+        if nbits == 1:
+            return s[..., None]
+        return jnp.stack([s >> 1, (s >> 1) ^ (s & 1)], axis=-1)
+
+    vp = sym_bits(sp)              # (..., nd, nbits)
+    vs = sym_bits(ss)
     dd = d[..., None]
     mag = 127 - jnp.where(vp != vs, dd, dd >> 1)
     ebits = jnp.where(vp != 0, -mag, mag)
