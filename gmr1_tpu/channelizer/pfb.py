@@ -50,21 +50,34 @@ def _dft_mat(m: int) -> np.ndarray:
 def _analyze_block(x, h_poly, m: int, p: int, hop: int):
     """x planar (N + p*m, 2) left-padded; returns (R, M, 2) channels.
 
-    v_q(r) = sum_p h[q+pm] x(r*hop - q - p*m)  [gather + dot]
+    v_q(r) = sum_p h[q+pm] x(r*hop - q - p*m)  [strided slices + dot]
     y_m(r) = (-1)^{mr} sum_q v_q(r) e^{+2j pi mq/M}  [packed matmul]
+
+    The commutator window for frame r is the CONTIGUOUS reversed block
+    x[r*hop+1 : r*hop + p*m + 1], so instead of a general (R, M, P)
+    gather (slow on TPU) the windows are built from p*m/hop static
+    row-shifted views of x reshaped (rows, hop) — pure slices XLA
+    turns into cheap strided copies.
     """
     n_eff = x.shape[0] - p * m
     r_cnt = n_eff // hop
+    n_rows_win = p * m // hop          # rows per window (hop | p*m)
+    # row view shifted by 1: rows[a, b] = x[a*hop + 1 + b]
+    xs = x[1:1 + (r_cnt + n_rows_win - 1) * hop]
+    pad = (r_cnt + n_rows_win - 1) * hop - xs.shape[0]
+    if pad > 0:
+        xs = jnp.concatenate([xs, jnp.zeros((pad, 2), jnp.float32)])
+    rows = xs.reshape(-1, hop, 2)
+    win = jnp.stack([rows[i:i + r_cnt] for i in range(n_rows_win)],
+                    axis=1)                     # (R, p*m/hop, hop, 2)
+    flat = win.reshape(r_cnt, p * m, 2)         # flat[r, j] = x[r*hop+1+j]
+    g = flat[:, ::-1]                           # g[r, j] = x[r*hop + p*m - j]
+    g = g.reshape(r_cnt, p, m, 2)               # j = pp*m + q
+    v = jnp.einsum("rpmc,mp->rmc", g, h_poly)   # branch dot
+    w = jnp.asarray(_dft_mat(m))
+    y = cplx.matmul(v, w)                       # one (R,2M)@(2M,2M) matmul
     r = np.arange(r_cnt)
     q = np.arange(m)
-    pp = np.arange(p)
-    # absolute index with left pad p*m: idx = r*hop + p*m - q - pp*m
-    idx = (r[:, None, None] * hop + p * m
-           - q[None, :, None] - pp[None, None, :] * m)
-    g = x[jnp.asarray(idx)]                    # (R, M, P, 2)
-    v = jnp.einsum("rmpc,mp->rmc", g, h_poly)  # branch dot
-    w = jnp.asarray(_dft_mat(m))
-    y = cplx.matmul(v[:, None, :, :], w)[:, 0]  # (R, M, 2)
     if hop == m // 2:
         sign = np.where((r[:, None] % 2 == 1) & (q[None, :] % 2 == 1),
                         -1.0, 1.0).astype(np.float32)
@@ -157,6 +170,62 @@ class ArbResampler:
         n_in = x.shape[-2]
         n_out, k1, p1, k2, p2, frac = self._geometry(n_in)
         return self._run(x, k1, p1, k2, p2, frac)
+
+    def window_geometry(self, out_start: int, n_out: int):
+        """Static gather geometry producing output samples
+        [out_start, out_start + n_out) from a SLICE of the input stream
+        — the burst-window fast path (skips resampling samples nobody
+        demodulates).  Returns (k_min, k_span, k1r, p1, k2r, p2, frac):
+        slice the input at [k_min, k_min + k_span) along the time axis
+        and feed it to resample_window with the rest.
+        """
+        n = np.arange(out_start, out_start + n_out, dtype=np.float64)
+        up = n * self.l / self.ratio
+        ip = np.floor(up).astype(np.int64)
+        frac = (up - ip).astype(np.float32)
+        k1, p1 = ip // self.l, ip % self.l
+        k2, p2 = (ip + 1) // self.l, (ip + 1) % self.l
+        k_min = int(k1.min()) - self.tpb + 1
+        assert k_min >= 0, (out_start, k_min)
+        k_span = int(k2.max()) - k_min + 1
+        return (k_min, k_span, (k1 - k_min).astype(np.int32),
+                p1.astype(np.int32), (k2 - k_min).astype(np.int32),
+                p2.astype(np.int32), frac)
+
+    def window_matrix(self, out_start: int, n_out: int):
+        """Dense (n_out, k_span) resampling matrix for the burst-window
+        fast path: out = W @ x[k_min : k_min + k_span].  Returns
+        (k_min, W).  Each row has ~2*tpb nonzeros, but at burst-window
+        size a dense f32 matmul on the MXU beats any gather form on
+        TPU.  Parity with resample_window / __call__ is exact."""
+        k_min, k_span, k1r, p1, k2r, p2, frac = self.window_geometry(
+            out_start, n_out)
+        w = np.zeros((n_out, k_span), np.float32)
+        i = np.arange(self.tpb)
+        n = np.arange(n_out)
+        br = self.branches
+        np.add.at(w, (n[:, None], k1r[:, None] - i[None, :]),
+                  br[p1] * (1.0 - frac)[:, None])
+        np.add.at(w, (n[:, None], k2r[:, None] - i[None, :]),
+                  br[p2] * frac[:, None])
+        return k_min, w
+
+    def resample_window(self, xw, k1r, p1, k2r, p2, frac):
+        """Resample a pre-sliced window (..., k_span, 2) using static
+        geometry from window_geometry (all indices host numpy)."""
+        xw = jnp.asarray(xw, jnp.float32)
+        i = np.arange(self.tpb)
+
+        def tap(k, p):
+            idx = k[:, None] - i[None, :]                # (n_out, tpb)
+            g = jnp.take(xw, jnp.asarray(idx), axis=-2)
+            rows = jnp.asarray(self.branches)[jnp.asarray(p)]
+            return jnp.einsum("...nic,ni->...nc", g, rows)
+
+        y1 = tap(k1r, p1)
+        y2 = tap(k2r, p2)
+        f = jnp.asarray(frac)[:, None]
+        return y1 * (1.0 - f) + y2 * f
 
     @partial(jax.jit, static_argnames=("self",))
     def _run(self, x, k1, p1, k2, p2, frac):

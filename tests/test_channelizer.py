@@ -40,6 +40,24 @@ def test_arb_resampler_tone(rng):
     assert np.std(np.abs(y)) < 0.03      # flat envelope
 
 
+def test_arb_resampler_window_parity(rng):
+    """resample_window must reproduce the matching slice of __call__."""
+    r = ArbResampler(93600.0 / 62500.0)
+    x = rng.standard_normal((3, 2048, 2)).astype(np.float32)
+    full = np.asarray(r(x))
+    out_start, n_out = 700, 256
+    k_min, k_span, k1r, p1, k2r, p2, frac = r.window_geometry(out_start, n_out)
+    xw = x[:, k_min:k_min + k_span]
+    win = np.asarray(r.resample_window(xw, k1r, p1, k2r, p2, frac))
+    np.testing.assert_allclose(win, full[:, out_start:out_start + n_out],
+                               rtol=1e-5, atol=1e-5)
+    # dense-matrix form must agree too
+    k_min2, wmat = r.window_matrix(out_start, n_out)
+    assert k_min2 == k_min and wmat.shape == (n_out, k_span)
+    dense = np.einsum("ok,bkc->boc", wmat, x[:, k_min:k_min + k_span])
+    np.testing.assert_allclose(dense, win, rtol=1e-4, atol=1e-5)
+
+
 CENTER = 1525e6 + 31250 * 512            # aligned to grid
 
 
