@@ -50,30 +50,33 @@ def _dft_mat(m: int) -> np.ndarray:
 def _analyze_block(x, h_poly, m: int, p: int, hop: int):
     """x planar (N + p*m, 2) left-padded; returns (R, M, 2) channels.
 
-    v_q(r) = sum_p h[q+pm] x(r*hop - q - p*m)  [strided slices + dot]
+    v_q(r) = sum_p h[q+pm] x(r*hop - q - p*m)  [shifted-row accumulate]
     y_m(r) = (-1)^{mr} sum_q v_q(r) e^{+2j pi mq/M}  [packed matmul]
 
-    The commutator window for frame r is the CONTIGUOUS reversed block
-    x[r*hop+1 : r*hop + p*m + 1], so instead of a general (R, M, P)
-    gather (slow on TPU) the windows are built from p*m/hop static
-    row-shifted views of x reshaped (rows, hop) — pure slices XLA
-    turns into cheap strided copies.
+    The branch filter avoids materializing the (R, p*m) commutator
+    windows (a ~20x data blow-up of misaligned strided copies — measured
+    ~15x slower than everything else combined).  Key identity: with
+    q = a*hop + b and M = 2*hop, the tap index r*hop + (P-pp)*M - q
+    equals (r + s)*hop - b for the single shift s = 2*(P-pp) - a.  So
+    after ONE cheap lane-reversal pass building zr[u, b] = x[(u+1)*hop
+    - b], every (branch, tap) pair is a LEADING-dim shifted view of zr
+    scaled by a per-lane weight vector, and v is a sum of 2P such
+    views — XLA fuses it into one aligned sliding-window loop.
     """
-    n_eff = x.shape[0] - p * m
-    r_cnt = n_eff // hop
-    n_rows_win = p * m // hop          # rows per window (hop | p*m)
-    # row view shifted by 1: rows[a, b] = x[a*hop + 1 + b]
-    xs = x[1:1 + (r_cnt + n_rows_win - 1) * hop]
-    pad = (r_cnt + n_rows_win - 1) * hop - xs.shape[0]
-    if pad > 0:
-        xs = jnp.concatenate([xs, jnp.zeros((pad, 2), jnp.float32)])
-    rows = xs.reshape(-1, hop, 2)
-    win = jnp.stack([rows[i:i + r_cnt] for i in range(n_rows_win)],
-                    axis=1)                     # (R, p*m/hop, hop, 2)
-    flat = win.reshape(r_cnt, p * m, 2)         # flat[r, j] = x[r*hop+1+j]
-    g = flat[:, ::-1]                           # g[r, j] = x[r*hop + p*m - j]
-    g = g.reshape(r_cnt, p, m, 2)               # j = pp*m + q
-    v = jnp.einsum("rpmc,mp->rmc", g, h_poly)   # branch dot
+    r_cnt = (x.shape[0] - p * m) // hop
+    u_rows = r_cnt + 2 * p              # z rows consumed (incl. +1 lead)
+    z = x[:u_rows * hop].reshape(u_rows, hop, 2)
+    # zr[u, b] = x[(u+1)*hop - b]:  col 0 from the next row's head,
+    # cols 1..hop-1 are this row's tail reversed.
+    zr = jnp.concatenate([z[1:, :1], z[:-1, hop - 1:0:-1]], axis=1)
+    v_ab = jnp.zeros((r_cnt, 2, hop, 2), jnp.float32)
+    for s in range(1, 2 * p + 1):
+        a = s & 1
+        pp = p - (s + a) // 2
+        w = h_poly[a * hop:(a + 1) * hop, pp]          # (hop,)
+        v_ab = v_ab.at[:, a].add(w[None, :, None]
+                                 * zr[s - 1:s - 1 + r_cnt])
+    v = v_ab.reshape(r_cnt, m, 2)
     w = jnp.asarray(_dft_mat(m))
     y = cplx.matmul(v, w)                       # one (R,2M)@(2M,2M) matmul
     r = np.arange(r_cnt)
@@ -112,10 +115,9 @@ class PFBAnalyzer:
         for r0 in range(0, r_cnt, cf):
             r1 = min(r0 + cf, r_cnt)
             beg = r0 * self.hop
-            end = (r1 - 1) * self.hop + self.p * self.m + 1
+            need = (r1 - r0) * self.hop + self.p * self.m
             blk = jax.lax.dynamic_slice_in_dim(
-                xp, beg, min(end - beg, xp.shape[0] - beg), axis=0)
-            need = (r1 - r0 - 1) * self.hop + self.p * self.m + 1
+                xp, beg, min(need, xp.shape[0] - beg), axis=0)
             if blk.shape[0] < need:
                 blk = jnp.concatenate(
                     [blk, jnp.zeros((need - blk.shape[0], 2), jnp.float32)])

@@ -71,39 +71,45 @@ def decode(code: ConvCode, soft, in_len: int):
     t_steps = soft.shape[-1] // n
     batch_shape = soft.shape[:-1]
     s_cnt = code.num_states
+    half = s_cnt // 2
 
-    p0_np, p1_np, sign_np = _acs_tables(code)
-    p0 = jnp.asarray(p0_np)
-    p1 = jnp.asarray(p1_np)
-    b_of = jnp.arange(s_cnt) & 1  # input bit that leads into each state
+    _, _, sign_np = _acs_tables(code)
 
-    # Branch metrics: (..., T, S, 2) via one matmul.
+    # Branch metrics: (..., T, S*2) via one matmul; flat index 2s+b.
     sym = soft.reshape(*batch_shape, t_steps, n)
     sign = jnp.asarray(sign_np.reshape(s_cnt * 2, n))  # (S*2, N)
     bm = jnp.einsum("...tn,sn->...ts", sym, sign,
                     preferred_element_type=jnp.float32)
-    bm = bm.reshape(*batch_shape, t_steps, s_cnt, 2)
     # Scan carries (..., S) metrics; move time in front.
-    bm = jnp.moveaxis(bm, -3, 0)  # (T, ..., S, 2)
+    bm = jnp.moveaxis(bm, -2, 0)  # (T, ..., S*2)
 
     # Derive the initial metrics from bm (not from shapes alone) so the
     # scan carry inherits bm's sharding/varying axes under shard_map.
-    zero = bm[0, ..., 0] * 0.0  # (..., S)
+    zero = bm[0, ..., :s_cnt] * 0.0  # (..., S)
     if code.term == TERM_FLUSH:
         m0 = zero + jnp.where(jnp.arange(s_cnt) == 0, 0.0, NEG_INF)
     else:
         m0 = zero
 
-    def acs(m, bm_t):
-        c0 = m[..., p0] + bm_t[..., p0, b_of]
-        c1 = m[..., p1] + bm_t[..., p1, b_of]
-        dec = c1 > c0
-        m_new = jnp.where(dec, c1, c0)
-        # Normalize to keep metrics bounded over long blocks.
-        m_new = m_new - jnp.max(m_new, axis=-1, keepdims=True)
-        return m_new, (dec, jnp.max(jnp.where(dec, c1, c0), axis=-1))
+    # Gather-free radix-2 ACS: the predecessors of state ns are
+    # p0 = ns>>1 and p1 = p0 | S/2 with input bit ns&1, so
+    #   m[p0] == repeat(m[:S/2], 2),  m[p1] == repeat(m[S/2:], 2),
+    #   bm[p0, ns&1] == bm_flat[ns],  bm[p1, ns&1] == bm_flat[ns + S]
+    # — every "gather" is a reshape/broadcast the VPU does for free.
+    def rep2(v):
+        return jnp.repeat(v, 2, axis=-1)
 
-    m_final, (decisions, step_max) = jax.lax.scan(acs, m0, bm)
+    def acs(m, bm_t):
+        c0 = rep2(m[..., :half]) + bm_t[..., :s_cnt]
+        c1 = rep2(m[..., half:]) + bm_t[..., s_cnt:]
+        dec = c1 > c0
+        m_new = jnp.maximum(c0, c1)
+        best = jnp.max(m_new, axis=-1)
+        # Normalize to keep metrics bounded over long blocks.
+        m_new = m_new - best[..., None]
+        return m_new, (dec, best)
+
+    m_final, (decisions, step_max) = jax.lax.scan(acs, m0, bm, unroll=8)
     # Recover the unnormalized winning metric: the per-step max shifts
     # telescope, so the true best-path metric is the sum of step maxima
     # relative to the running normalization — track it directly instead:
@@ -120,15 +126,19 @@ def decode(code: ConvCode, soft, in_len: int):
         end_bias = jnp.zeros(batch_shape, jnp.float32)
     metric_total = metric_total + end_bias
 
+    # Gather-free traceback: select this state's decision with a
+    # one-hot reduce, then compute the predecessor arithmetically.
+    states = jnp.arange(s_cnt, dtype=jnp.int32)
+
     def traceback(s, dec_t):
         bit = (s & 1).astype(jnp.uint8)
-        took_p1 = jnp.take_along_axis(
-            dec_t.reshape(-1, s_cnt), s.reshape(-1, 1), axis=-1
-        ).reshape(s.shape)
-        s_prev = jnp.where(took_p1, p1[s], p0[s])
+        onehot = s[..., None] == states
+        took_p1 = jnp.any(onehot & dec_t, axis=-1)
+        s_prev = (s >> 1) | jnp.where(took_p1, half, 0)
         return s_prev, bit
 
-    _, bits_rev = jax.lax.scan(traceback, end_state, decisions, reverse=True)
+    _, bits_rev = jax.lax.scan(traceback, end_state, decisions,
+                               reverse=True, unroll=8)
     bits = jnp.moveaxis(bits_rev, 0, -1)  # (..., T)
     return bits[..., :in_len], metric_total
 
