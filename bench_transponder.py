@@ -70,14 +70,14 @@ def synth_seed_stream(l2, frames, fs, rng):
             + 1j * np.interp(pos, grid, s4.imag)).astype(np.complex64)
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fs", type=float, default=34e6)
     ap.add_argument("--frames", type=int, default=2,
                     help="TDMA frames per step")
-    ap.add_argument("--k", type=int, default=8, help="scan steps per launch")
+    ap.add_argument("--k", type=int, default=32, help="scan steps per launch")
     ap.add_argument("--iters", type=int, default=3)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -86,7 +86,6 @@ def main() -> None:
 
     from gmr1_tpu.channelizer import Channel, Channelizer
     from gmr1_tpu.channelizer.arfcn import BASE_SYMRATE
-    from gmr1_tpu.channelizer.pfb import _analyze_block
     from gmr1_tpu.l1 import bcch
     from gmr1_tpu.ops import cplx
     from gmr1_tpu.sdr import bursts as BU
@@ -158,8 +157,7 @@ def main() -> None:
     @jax.jit
     def run(noise_bank):
         def step(carry, xp):
-            bankd = _analyze_block(xp, chz.analyzer.h_poly, m,
-                                   chz.analyzer.p, hop)      # (R, M, 2)
+            bankd = chz.analyzer.block(xp)               # (R, M, 2)
             bank_c = jnp.moveaxis(bankd, 0, 1)               # (M, R, 2)
             wins = []
             for (k_min, wmat) in geoms:

@@ -46,6 +46,35 @@ def _dft_mat(m: int) -> np.ndarray:
     return np.stack([np.cos(w), np.sin(w)], axis=-1).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def _dft_packed(m: int) -> np.ndarray:
+    """(2M, 2M) packed-real form of _dft_mat: [ar|ai]@this = [cr|ci]."""
+    w = _dft_mat(m)
+    br, bi = w[..., 0], w[..., 1]
+    return np.block([[br, bi], [-bi, br]]).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("m", "p", "hop"))
+def _analyze_block_fused(x, w2, m: int, p: int, hop: int):
+    """Pallas-kernel variant of _analyze_block (TPU backends).
+
+    The branch filter runs as ops.pallas_pfb.branch_filter (one HBM
+    pass instead of 2P re-reads); its (2, 2, R, hop) slab output feeds
+    the packed-real channel DFT with a single transpose.
+    """
+    from ..ops.pallas_pfb import branch_filter
+
+    r_cnt = (x.shape[0] - p * m) // hop
+    v2 = branch_filter(x, w2, m, p, hop, r_cnt)      # (2, 2, R, hop)
+    a2 = jnp.transpose(v2, (2, 0, 1, 3)).reshape(r_cnt, 2 * m)
+    c2 = a2 @ jnp.asarray(_dft_packed(m))            # (R, 2M) = [yr|yi]
+    if hop == m // 2:
+        rpar = (jnp.arange(r_cnt) & 1).astype(jnp.float32)
+        qpar = jnp.asarray(np.tile(np.arange(m) % 2, 2).astype(np.float32))
+        c2 = c2 * (1.0 - 2.0 * rpar[:, None] * qpar[None, :])
+    return jnp.stack([c2[:, :m], c2[:, m:]], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("m", "p", "hop"))
 def _analyze_block(x, h_poly, m: int, p: int, hop: int):
     """x planar (N + p*m, 2) left-padded; returns (R, M, 2) channels.
@@ -100,8 +129,24 @@ class PFBAnalyzer:
         self.p = int(np.ceil(len(t) / n_chans))
         h = np.zeros(self.p * n_chans, np.float32)
         h[:len(t)] = t
-        self.h_poly = jnp.asarray(h.reshape(self.p, n_chans).T)  # (M, P)
+        h_poly_np = h.reshape(self.p, n_chans).T          # (M, P)
+        self.h_poly = jnp.asarray(h_poly_np)
+        from ..ops.pallas_pfb import branch_weights
+        self.w2 = jnp.asarray(branch_weights(h_poly_np, self.m, self.p,
+                                             self.hop))   # (2P, hop)
         self.chunk_frames = chunk_frames
+
+    def block(self, xp) -> jax.Array:
+        """Analyze one left-padded block ((R*hop + p*m,) + planar).
+
+        Dispatches to the fused Pallas kernel on TPU backends and the
+        pure-XLA shifted-accumulate form elsewhere (identical numerics
+        up to f32 summation order; parity-tested in tests/).
+        """
+        if jax.default_backend() not in ("cpu",):
+            return _analyze_block_fused(xp, self.w2, self.m, self.p,
+                                        self.hop)
+        return _analyze_block(xp, self.h_poly, self.m, self.p, self.hop)
 
     def __call__(self, x) -> jax.Array:
         """Planar wideband (N, 2) -> channels (R, M, 2) at rate fs/(M/2)."""
@@ -121,8 +166,7 @@ class PFBAnalyzer:
             if blk.shape[0] < need:
                 blk = jnp.concatenate(
                     [blk, jnp.zeros((need - blk.shape[0], 2), jnp.float32)])
-            out.append(_analyze_block(blk, self.h_poly, self.m, self.p,
-                                      self.hop))
+            out.append(self.block(blk))
         return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
 

@@ -27,7 +27,6 @@ def main() -> None:
 
     from gmr1_tpu.channelizer import Channelizer
     from gmr1_tpu.channelizer.arfcn import BASE_SYMRATE
-    from gmr1_tpu.channelizer.pfb import _analyze_block
     from gmr1_tpu.l1 import bcch
     from gmr1_tpu.sdr import bursts as BU
     from gmr1_tpu.sdr import modem
@@ -56,8 +55,7 @@ def main() -> None:
             if depth == 0:
                 return carry + jnp.sum(x[0]), 0.0
             xp = jnp.concatenate([jnp.zeros((halo, 2), jnp.float32), x], 0)
-            bankd = _analyze_block(xp, chz.analyzer.h_poly, m,
-                                   chz.analyzer.p, hop)
+            bankd = chz.analyzer.block(xp)
             if depth == 1:
                 return carry + jnp.sum(bankd[0, 0]), 0.0
             bank_c = jnp.moveaxis(bankd, 0, 1)
