@@ -54,24 +54,37 @@ def _dft_packed(m: int) -> np.ndarray:
     return np.block([[br, bi], [-bi, br]]).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("m", "p", "hop"))
-def _analyze_block_fused(x, w2, m: int, p: int, hop: int):
-    """Pallas-kernel variant of _analyze_block (TPU backends).
+@partial(jax.jit, static_argnames=("m", "p", "hop", "r_cnt", "interpret"))
+def _analyze_slab_packed(z, wa, m: int, p: int, hop: int, r_cnt: int,
+                         interpret: bool = False):
+    """Slab input (2, ROWS, hp) -> PACKED channel bank (R, 2M) = [yr|yi].
 
-    The branch filter runs as ops.pallas_pfb.branch_filter (one HBM
-    pass instead of 2P re-reads); its (2, 2, R, hop) slab output feeds
-    the packed-real channel DFT with a single transpose.
+    The zero-relayout fast path: Pallas branch filter writes the packed
+    DFT activation directly; the channel DFT is one MXU matmul; the 2x
+    oversampling sign flip fuses into it.  Callers that can consume the
+    packed form (windowed slicing contracts over rows) avoid the planar
+    re-stack entirely.
     """
-    from ..ops.pallas_pfb import branch_filter
+    from ..ops.pallas_pfb import branch_filter_slab, dft_packed_slab
 
-    r_cnt = (x.shape[0] - p * m) // hop
-    v2 = branch_filter(x, w2, m, p, hop, r_cnt)      # (2, 2, R, hop)
-    a2 = jnp.transpose(v2, (2, 0, 1, 3)).reshape(r_cnt, 2 * m)
-    c2 = a2 @ jnp.asarray(_dft_packed(m))            # (R, 2M) = [yr|yi]
+    a2 = branch_filter_slab(z, wa, m, p, hop, r_cnt, interpret=interpret)
+    c2 = a2 @ jnp.asarray(dft_packed_slab(m, hop))   # (R, 2M)
     if hop == m // 2:
         rpar = (jnp.arange(r_cnt) & 1).astype(jnp.float32)
         qpar = jnp.asarray(np.tile(np.arange(m) % 2, 2).astype(np.float32))
         c2 = c2 * (1.0 - 2.0 * rpar[:, None] * qpar[None, :])
+    return c2
+
+
+@partial(jax.jit, static_argnames=("m", "p", "hop", "interpret"))
+def _analyze_block_fused(x, wa, m: int, p: int, hop: int,
+                         interpret: bool = False):
+    """Planar-API wrapper over the slab fast path (TPU backends)."""
+    from ..ops.pallas_pfb import to_slab
+
+    r_cnt = (x.shape[0] - p * m) // hop
+    z = to_slab(x, p, hop, r_cnt)
+    c2 = _analyze_slab_packed(z, wa, m, p, hop, r_cnt, interpret=interpret)
     return jnp.stack([c2[:, :m], c2[:, m:]], axis=-1)
 
 
@@ -131,9 +144,9 @@ class PFBAnalyzer:
         h[:len(t)] = t
         h_poly_np = h.reshape(self.p, n_chans).T          # (M, P)
         self.h_poly = jnp.asarray(h_poly_np)
-        from ..ops.pallas_pfb import branch_weights
-        self.w2 = jnp.asarray(branch_weights(h_poly_np, self.m, self.p,
-                                             self.hop))   # (2P, hop)
+        from ..ops.pallas_pfb import slab_weights
+        self.wa = jnp.asarray(slab_weights(h_poly_np, self.m, self.p,
+                                           self.hop))  # (2(2P+1), hp)
         self.chunk_frames = chunk_frames
 
     def block(self, xp) -> jax.Array:
@@ -144,9 +157,18 @@ class PFBAnalyzer:
         up to f32 summation order; parity-tested in tests/).
         """
         if jax.default_backend() not in ("cpu",):
-            return _analyze_block_fused(xp, self.w2, self.m, self.p,
+            return _analyze_block_fused(xp, self.wa, self.m, self.p,
                                         self.hop)
         return _analyze_block(xp, self.h_poly, self.m, self.p, self.hop)
+
+    def block_packed(self, z, r_cnt: int) -> jax.Array:
+        """Slab fast path: pre-slabbed block -> packed (R, 2M) bank.
+
+        `z` is ops.pallas_pfb.to_slab layout (2, slab_rows, hp); use
+        when the caller streams many blocks and consumes the packed
+        form (e.g. the transponder pipeline)."""
+        return _analyze_slab_packed(z, self.wa, self.m, self.p, self.hop,
+                                    r_cnt)
 
     def __call__(self, x) -> jax.Array:
         """Planar wideband (N, 2) -> channels (R, M, 2) at rate fs/(M/2)."""

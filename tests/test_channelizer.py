@@ -175,22 +175,17 @@ def test_pallas_branch_filter_parity(rng):
     """Pallas fused analysis (interpret mode) == XLA shifted-accumulate."""
     import jax.numpy as jnp
 
-    from gmr1_tpu.channelizer.pfb import (_analyze_block, _dft_packed)
-    from gmr1_tpu.ops.pallas_pfb import branch_filter, branch_weights
+    from gmr1_tpu.channelizer.pfb import _analyze_block, _analyze_block_fused
+    from gmr1_tpu.ops.pallas_pfb import slab_weights
 
-    for (m, p, R) in [(16, 3, 40), (64, 5, 21)]:
+    for (m, p, R) in [(16, 3, 40), (64, 5, 21), (64, 5, 24)]:
         hop = m // 2
         L = R * hop + p * m
         x = jnp.asarray(rng.normal(size=(L, 2)).astype(np.float32))
         h_poly = rng.normal(size=(m, p)).astype(np.float32)
         ref = np.asarray(_analyze_block(x, jnp.asarray(h_poly), m, p, hop))
 
-        w2 = jnp.asarray(branch_weights(h_poly, m, p, hop))
-        v2 = branch_filter(x, w2, m, p, hop, R, interpret=True)
-        a2 = jnp.transpose(v2, (2, 0, 1, 3)).reshape(R, 2 * m)
-        c2 = np.asarray(a2 @ jnp.asarray(_dft_packed(m)))
-        rpar = (np.arange(R) & 1).astype(np.float32)
-        qpar = np.tile(np.arange(m) % 2, 2).astype(np.float32)
-        c2 = c2 * (1.0 - 2.0 * rpar[:, None] * qpar[None, :])
-        got = np.stack([c2[:, :m], c2[:, m:]], axis=-1)
+        wa = jnp.asarray(slab_weights(h_poly, m, p, hop))
+        got = np.asarray(_analyze_block_fused(x, wa, m, p, hop,
+                                              interpret=True))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-4)
