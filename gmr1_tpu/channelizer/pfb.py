@@ -54,9 +54,10 @@ def _dft_packed(m: int) -> np.ndarray:
     return np.block([[br, bi], [-bi, br]]).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("m", "p", "hop", "r_cnt", "interpret"))
+@partial(jax.jit, static_argnames=("m", "p", "hop", "r_cnt", "interpret",
+                                   "dft_bf16"))
 def _analyze_slab_packed(z, wa, m: int, p: int, hop: int, r_cnt: int,
-                         interpret: bool = False):
+                         interpret: bool = False, dft_bf16: bool = True):
     """Slab input (2, ROWS, hp) -> PACKED channel bank (R, 2M) = [yr|yi].
 
     The zero-relayout fast path: Pallas branch filter writes the packed
@@ -64,11 +65,22 @@ def _analyze_slab_packed(z, wa, m: int, p: int, hop: int, r_cnt: int,
     oversampling sign flip fuses into it.  Callers that can consume the
     packed form (windowed slicing contracts over rows) avoid the planar
     re-stack entirely.
+
+    dft_bf16 runs the channel DFT with bf16 operands and f32
+    accumulation (the MXU's native fast path).  Operand rounding sits
+    ~-48 dB relative to signal — an order of magnitude below any real
+    capture's RF noise floor, and the accumulator stays f32 — so this
+    is on by default; pass False for bit-tight comparisons.
     """
     from ..ops.pallas_pfb import branch_filter_slab, dft_packed_slab
 
     a2 = branch_filter_slab(z, wa, m, p, hop, r_cnt, interpret=interpret)
-    c2 = a2 @ jnp.asarray(dft_packed_slab(m, hop))   # (R, 2M)
+    b2 = jnp.asarray(dft_packed_slab(m, hop))
+    if dft_bf16:
+        c2 = jnp.dot(a2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    else:
+        c2 = a2 @ b2                                 # (R, 2M)
     if hop == m // 2:
         rpar = (jnp.arange(r_cnt) & 1).astype(jnp.float32)
         qpar = jnp.asarray(np.tile(np.arange(m) % 2, 2).astype(np.float32))
@@ -76,15 +88,16 @@ def _analyze_slab_packed(z, wa, m: int, p: int, hop: int, r_cnt: int,
     return c2
 
 
-@partial(jax.jit, static_argnames=("m", "p", "hop", "interpret"))
+@partial(jax.jit, static_argnames=("m", "p", "hop", "interpret", "dft_bf16"))
 def _analyze_block_fused(x, wa, m: int, p: int, hop: int,
-                         interpret: bool = False):
+                         interpret: bool = False, dft_bf16: bool = True):
     """Planar-API wrapper over the slab fast path (TPU backends)."""
     from ..ops.pallas_pfb import to_slab
 
     r_cnt = (x.shape[0] - p * m) // hop
     z = to_slab(x, p, hop, r_cnt)
-    c2 = _analyze_slab_packed(z, wa, m, p, hop, r_cnt, interpret=interpret)
+    c2 = _analyze_slab_packed(z, wa, m, p, hop, r_cnt, interpret=interpret,
+                              dft_bf16=dft_bf16)
     return jnp.stack([c2[:, :m], c2[:, m:]], axis=-1)
 
 

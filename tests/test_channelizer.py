@@ -187,5 +187,11 @@ def test_pallas_branch_filter_parity(rng):
 
         wa = jnp.asarray(slab_weights(h_poly, m, p, hop))
         got = np.asarray(_analyze_block_fused(x, wa, m, p, hop,
-                                              interpret=True))
+                                              interpret=True,
+                                              dft_bf16=False))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-4)
+        # default bf16 channel DFT: within quantization-noise tolerance
+        got16 = np.asarray(_analyze_block_fused(x, wa, m, p, hop,
+                                                interpret=True))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got16 / scale, ref / scale, atol=3e-2)
