@@ -62,13 +62,20 @@ def correlate(ref, win, step: int):
     ref = jnp.asarray(ref, jnp.float32)
     win = jnp.asarray(win, jnp.float32)
     n_out = win.shape[-2] - ref.shape[-2] * step + 1
-    idx = jnp.asarray(_window_idx(n_out, ref.shape[-2], step))
-    gath = win[..., idx, :]  # (..., n_out, L, 2)
-    gr, gi = gath[..., 0], gath[..., 1]
+    # Strided correlation as a kernel-dilated conv: XLA tiles it onto
+    # the MXU without materializing the (batch, n_out, L, 2) window
+    # gather (which cost more than the rest of the demod combined).
+    batch_shape = win.shape[:-2]
+    x = win.reshape(-1, win.shape[-2], 2).transpose(0, 2, 1)  # (B, 2, W)
     rr, ri = ref[..., 0], ref[..., 1]
-    out_re = gr @ rr + gi @ ri
-    out_im = gi @ rr - gr @ ri
-    return jnp.stack([out_re, out_im], axis=-1)
+    k = jnp.stack([jnp.stack([rr, ri]), jnp.stack([-ri, rr])])
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1,), padding="VALID",
+        rhs_dilation=(step,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # (B, 2, W - (L-1)*step) — step-1 extra tail positions
+    y = y[..., :n_out].transpose(0, 2, 1)
+    return y.reshape(*batch_shape, n_out, 2)
 
 
 def correlate_conv(ref, win):
