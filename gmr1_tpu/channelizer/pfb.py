@@ -46,14 +46,6 @@ def _dft_mat(m: int) -> np.ndarray:
     return np.stack([np.cos(w), np.sin(w)], axis=-1).astype(np.float32)
 
 
-@lru_cache(maxsize=None)
-def _dft_packed(m: int) -> np.ndarray:
-    """(2M, 2M) packed-real form of _dft_mat: [ar|ai]@this = [cr|ci]."""
-    w = _dft_mat(m)
-    br, bi = w[..., 0], w[..., 1]
-    return np.block([[br, bi], [-bi, br]]).astype(np.float32)
-
-
 @partial(jax.jit, static_argnames=("m", "p", "hop", "r_cnt", "interpret",
                                    "dft_bf16"))
 def _analyze_slab_packed(z, wa, m: int, p: int, hop: int, r_cnt: int,
@@ -80,7 +72,10 @@ def _analyze_slab_packed(z, wa, m: int, p: int, hop: int, r_cnt: int,
         c2 = jnp.dot(a2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
     else:
-        c2 = a2 @ b2                                 # (R, 2M)
+        # XLA:TPU's default f32 dot also rounds operands to bf16, so the
+        # exact path must request HIGHEST explicitly (verified on-chip:
+        # default-precision f32 == bf16 bit-for-bit on this backend).
+        c2 = jnp.dot(a2, b2, precision=jax.lax.Precision.HIGHEST)
     if hop == m // 2:
         rpar = (jnp.arange(r_cnt) & 1).astype(jnp.float32)
         qpar = jnp.asarray(np.tile(np.arange(m) % 2, 2).astype(np.float32))
@@ -147,8 +142,12 @@ class PFBAnalyzer:
     """M-channel 2x-oversampled analysis bank."""
 
     def __init__(self, n_chans: int, taps: np.ndarray,
-                 chunk_frames: int = 8192):
+                 chunk_frames: int = 8192, dft_bf16: bool = True):
+        """dft_bf16 runs the channel DFT with bf16 operands / f32
+        accumulation on TPU (see _analyze_slab_packed); pass False for
+        f32-exact analysis on device."""
         assert n_chans % 2 == 0, "need even channel count"
+        self.dft_bf16 = dft_bf16
         self.m = n_chans
         self.hop = n_chans // 2
         t = np.asarray(taps, np.float32)
@@ -165,13 +164,14 @@ class PFBAnalyzer:
     def block(self, xp) -> jax.Array:
         """Analyze one left-padded block ((R*hop + p*m,) + planar).
 
-        Dispatches to the fused Pallas kernel on TPU backends and the
-        pure-XLA shifted-accumulate form elsewhere (identical numerics
-        up to f32 summation order; parity-tested in tests/).
+        Dispatches to the fused Pallas kernel on TPU backends (the
+        kernel uses TPU-only DMA/semaphore primitives) and the pure-XLA
+        shifted-accumulate form on every other backend (identical
+        numerics up to f32 summation order; parity-tested in tests/).
         """
-        if jax.default_backend() not in ("cpu",):
+        if jax.default_backend() in ("tpu", "axon"):
             return _analyze_block_fused(xp, self.wa, self.m, self.p,
-                                        self.hop)
+                                        self.hop, dft_bf16=self.dft_bf16)
         return _analyze_block(xp, self.h_poly, self.m, self.p, self.hop)
 
     def block_packed(self, z, r_cnt: int) -> jax.Array:
@@ -181,7 +181,7 @@ class PFBAnalyzer:
         when the caller streams many blocks and consumes the packed
         form (e.g. the transponder pipeline)."""
         return _analyze_slab_packed(z, self.wa, self.m, self.p, self.hop,
-                                    r_cnt)
+                                    r_cnt, dft_bf16=self.dft_bf16)
 
     def __call__(self, x) -> jax.Array:
         """Planar wideband (N, 2) -> channels (R, M, 2) at rate fs/(M/2)."""

@@ -112,7 +112,7 @@ def branch_filter_slab(z, wa, m: int, p: int, hop: int, r_cnt: int,
         grid=(2, 2, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wa, whole
-            pl.BlockSpec(memory_space=pltpu.ANY),    # z stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # z stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (tr, hp), lambda c, a, i: (i, 2 * c + a),
