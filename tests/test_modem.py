@@ -131,3 +131,21 @@ def test_soft_bit_quantizer_scale(rng):
     capn = channel(x1, 4, delay=4, win=8, rng=rng, sigma=0.4)
     resn = modem.demod(burst, capn, 4, 8)
     assert np.abs(np.array(resn.ebits)).mean() < 120
+
+
+def test_xch_dc12_over_dc12_chain(rng):
+    """Full chain for the K=9 control channel: 24B L2 -> xch_dc12
+    encode -> pi/2-CBPSK DC12 burst -> noisy channel -> demod ->
+    tail-biting K=9 Viterbi decode (VERDICT: xch_dc12-over-DC12).
+    Reference pairing: xch_dc12.c over nb.c:143."""
+    from gmr1_tpu.l1 import xch_dc12
+
+    sps, win = 4, 12
+    l2 = rng.integers(0, 256, size=(2, 24), dtype=np.uint8)
+    e = np.asarray(xch_dc12.encode(l2), np.uint8)
+    assert e.shape == (2, BU.DC12.ebits)
+    x1 = np.asarray(modem.mod(BU.DC12, e))
+    cap = channel(x1, sps, delay=6, rng=rng, sigma=0.25, win=win)
+    res = modem.demod(BU.DC12, cap, sps, win)
+    out, bad, metric = xch_dc12.decode(res.ebits)
+    np.testing.assert_array_equal(np.asarray(out), l2)

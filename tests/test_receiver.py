@@ -32,14 +32,25 @@ class Capture:
                     + 1j * rng.standard_normal(self.n)) * noise
         self.rng = rng
 
+    @staticmethod
+    def _rc(t, beta=0.35):
+        """Raised-cosine pulse: what a burst looks like after the TX RRC
+        and the channelizer's RX RRC (utils/gmr1_rx_sdr.py:591-598) —
+        its 1/t^3 tails keep sync-correlation sidelobes low, unlike a
+        brick-wall sinc whose sidelobes bias the sub-sample TOA."""
+        den = 1.0 - (2.0 * beta * t) ** 2
+        safe = np.where(np.abs(den) < 1e-8, 1.0, den)
+        out = np.sinc(t) * np.cos(np.pi * beta * t) / safe
+        return np.where(np.abs(den) < 1e-8, np.sinc(t) * np.pi / 4, out)
+
     def place_syms(self, k, slot, x1):
-        """Upsample 1-sps planar burst by sinc interp, add at frame k slot."""
+        """Upsample 1-sps planar burst by RC interp, add at frame k slot."""
         x1 = np.asarray(x1)
         xc = x1[..., 0] + 1j * x1[..., 1]
         nsym = xc.shape[-1]
         total = nsym * SPS
         t = (np.arange(total)[:, None]) / SPS - np.arange(nsym)[None, :]
-        sig = xc @ np.sinc(t).astype(np.float32).T
+        sig = xc @ self._rc(t).astype(np.float32).T
         pos = START + k * FRAME_LEN + slot * 39 * SPS
         self.buf[pos:pos + total] += sig
 
@@ -121,7 +132,12 @@ def e2e(tmp_path_factory):
 
     # FACCH3 group at k=8..11 (fn&3 == 0..3 since F0%4 == 0).
     # Only 76 bits are coded (facch3.c:48) -> zero the last nibble.
+    # Payload = ASS.CMD.1 assigning TCH9 on tn9 (gmr1_rx.c:437-441).
+    tn9 = 13
     fl2 = rng.integers(0, 256, 10, dtype=np.uint8)
+    fl2[3], fl2[4] = 0x06, 0x2E
+    fl2[5] = (fl2[5] & 0xFC) | ((tn9 >> 3) & 0x03)
+    fl2[6] = (fl2[6] & 0x1F) | ((tn9 & 0x07) << 5)
     fl2[9] &= 0xF0
     fe = np.asarray(facch3.encode(fl2, np.zeros(32, np.uint8))).reshape(4, 104)
     for bi, k in enumerate((8, 9, 10, 11)):
@@ -135,16 +151,47 @@ def e2e(tmp_path_factory):
 
     # silence k>=14 on the TCH slot -> weak counting -> teardown
 
+    # --- TCH9 channel on tn9 after the ASS.CMD.1 handoff --------------
+    # The receiver ciphers TCH9 with A5/1 (gmr1_rx.c:306,327); kc is
+    # all-zeros here, matching Receiver's default.
+    from gmr1_tpu import native
+    from gmr1_tpu.l1 import facch9, tch9
+    kc = np.zeros(8, np.uint8)
+
+    def a5(fn, n):
+        return native.a5_keystream(kc, fn, n)[0]
+
+    # FACCH9 at k=12 (sync_id 0); only 300 of 304 bits are coded
+    # (facch9.c:48) -> zero the last nibble
+    f9l2 = rng.integers(0, 256, 38, dtype=np.uint8)
+    f9l2[37] &= 0xF0
+    e9 = np.asarray(facch9.encode(f9l2, np.zeros(10, np.uint8),
+                                  np.zeros(4, np.uint8), a5(F0 + 12, 658)))
+    cap.place_syms(12, tn9, np.asarray(modem.mod(BU.NT9, e9, sync_id=0)))
+
+    # TCH9 9k6 CSD bursts at k=13..17 (sync_id 1); depth-3 interleave
+    # means payload i decodes when burst i+2 is consumed.
+    csd_payloads = [rng.integers(0, 256, 60, dtype=np.uint8)
+                    for _ in range(5)]
+    il_e = tch9.interleaver_init(dtype=np.uint8)
+    for i, k in enumerate(range(13, 18)):
+        il_e, eb = tch9.encode(csd_payloads[i], tch9.MODE_9K6,
+                               np.zeros(10, np.uint8),
+                               np.zeros(4, np.uint8), il_e, a5(F0 + k, 658))
+        cap.place_syms(k, tn9, np.asarray(modem.mod(BU.NT9, np.asarray(eb),
+                                                    sync_id=1)))
+
     path = tmp_path_factory.mktemp("cap") / "carrier.cfile"
     cap.tofile(str(path))
     cf = CFile(str(path))
-    rx = Receiver(cf, SPS, tch_file=cf, verbose=False)
+    rx = Receiver(cf, SPS, tch_file=cf, tch_csd_file=cf, verbose=False)
     rx.run()
-    return rx, si1s, bytes(fl2), speech_frames, tn
+    return rx, si1s, bytes(fl2), speech_frames, tn, bytes(f9l2), [
+        bytes(bytearray(c)) for c in csd_payloads]
 
 
 def test_bcch_lock_and_decode(e2e):
-    rx, si1s, _, _, _ = e2e
+    rx, si1s, *_ = e2e
     got = {fn: l2 for t, fn, tn, l2 in rx.frames if t == gt.GMR1_BCCH}
     # all SI1 bursts present in the processed span decoded bit-exactly
     decoded = [fn for fn in si1s if fn in got]
@@ -154,18 +201,18 @@ def test_bcch_lock_and_decode(e2e):
 
 
 def test_ccch_imm_ass(e2e):
-    rx, _, _, _, tn = e2e
+    rx, _, _, _, tn, *_ = e2e
     cc = [l2 for t, fn, _, l2 in rx.frames if t == gt.GMR1_CCCH]
     assert any(l2[1] == 0x06 and l2[2] == 0x3F for l2 in cc)
 
 
 def test_tch3_speech(e2e):
-    rx, _, _, speech_frames, _ = e2e
+    rx, _, _, speech_frames, *_ = e2e
     assert rx.speech[:6] == speech_frames
 
 
 def test_facch3(e2e):
-    rx, _, fl2, _, tn = e2e
+    rx, _, fl2, _, tn, *_ = e2e
     fa = [l2 for t, fn, tn_, l2 in rx.frames
           if t == (gt.GMR1_TCH3 | gt.GMR1_FACCH)]
     assert fl2 in fa
@@ -192,3 +239,25 @@ def test_gsmtap_packet_format():
     assert pkt[3] == 3                          # timeslot
     assert pkt[8:12] == b"\x12\x34\x56\x78"     # fn big-endian
     assert pkt[12] == gt.GMR1_BCCH
+
+
+def test_tch9_handoff_and_facch9(e2e):
+    """ASS.CMD.1 inside FACCH3 activates the TCH9 FSM (gmr1_rx.c:437-441)
+    and the FACCH9 burst decodes CRC-clean through the cipher."""
+    rx, _, fl2, _, _, f9l2, _ = e2e
+    # the FACCH3 that carried the assignment was itself decoded
+    fa = [l2 for t, fn, tn_, l2 in rx.frames
+          if t == (gt.GMR1_TCH3 | gt.GMR1_FACCH)]
+    assert fl2 in fa
+    f9 = [l2 for t, fn, tn_, l2 in rx.frames
+          if t == (gt.GMR1_TCH9 | gt.GMR1_FACCH)]
+    assert f9l2 in f9
+
+
+def test_tch9_csd_stream(e2e):
+    """9k6 CSD bursts decode through the depth-3 inter-burst
+    deinterleaver with the documented 2-burst latency (tch9.c:109)."""
+    rx, *_, csd_payloads = e2e
+    # payloads 0..2 emerge once bursts 2..4 are consumed, contiguously
+    idx = rx.csd.index(csd_payloads[0])
+    assert rx.csd[idx:idx + 3] == csd_payloads[:3]
