@@ -12,12 +12,23 @@ from gmr1_tpu.sdr import bursts as BU
 from gmr1_tpu.sdr import modem
 
 
+def _rc(t, beta=0.35):
+    """Raised-cosine pulse (TX RRC x RX RRC): its fast-decaying tails
+    keep sync-correlation sidelobes low; a brick-wall sinc's 1/t tails
+    bias the sub-sample TOA by a fraction of a sample on long bursts
+    (DC6/NT6), which is a test-channel artifact, not a demod error."""
+    den = 1.0 - (2.0 * beta * t) ** 2
+    safe = np.where(np.abs(den) < 1e-8, 1.0, den)
+    out = np.sinc(t) * np.cos(np.pi * beta * t) / safe
+    return np.where(np.abs(den) < 1e-8, np.sinc(t) * np.pi / 4, out)
+
+
 def channel(x1, sps, delay, freq_err_per_sym=0.0, sigma=0.0, win=20, rng=None):
     """1-sps planar modulated burst -> band-limited oversampled capture.
 
-    Sinc-interpolates the symbol stream to sps samples/symbol (supports
-    fractional `delay` in samples), applies a carrier offset and AWGN.
-    Input and output are planar complex (..., N, 2) float32.
+    Pulse-shape-interpolates the symbol stream to sps samples/symbol
+    (supports fractional `delay` in samples), applies a carrier offset
+    and AWGN.  Input and output are planar complex (..., N, 2) float32.
     """
     x1 = np.asarray(x1)
     xc = x1[..., 0] + 1j * x1[..., 1]
@@ -26,7 +37,7 @@ def channel(x1, sps, delay, freq_err_per_sym=0.0, sigma=0.0, win=20, rng=None):
     n = np.arange(total)
     # sample n sits at symbol time (n - delay)/sps
     t = (n[:, None] - delay) / sps - np.arange(nsym)[None, :]
-    h = np.sinc(t).astype(np.float32)
+    h = _rc(t).astype(np.float32)
     out = xc @ h.T
     out = out * np.exp(1j * freq_err_per_sym / sps * n)
     if sigma and rng is not None:
@@ -39,7 +50,9 @@ def sbit_to_hard(e):
     return (np.asarray(e) < 0).astype(np.uint8)
 
 
-@pytest.mark.parametrize("burst", [BU.BCCH, BU.DC2, BU.NT3_SPEECH, BU.RACH],
+@pytest.mark.parametrize("burst", [BU.BCCH, BU.DC2, BU.DC6, BU.DC12,
+                                   BU.NT3_SPEECH, BU.NT6, BU.NT9, BU.RACH,
+                                   BU.SDCCH],
                          ids=lambda b: b.name)
 def test_mod_demod_roundtrip_sps4(burst, rng):
     sps, win = 4, 20
