@@ -135,11 +135,19 @@ def _resample_mag(src, l_src, l_dst):
 
 
 def _cosf(angle):
-    """cosf_fast on device (math.c:50-55): table lookup with C-style
-    truncation toward zero."""
+    """cosf_fast on device (math.c:50-55).
+
+    The reference quantizes the angle to a 1024-entry grid (C-style
+    truncation toward zero) and reads cos_tbl[i] = cosf(pi*i/512)
+    (math.c:38-43).  A table GATHER at (batch, 56, 80) index volume is
+    the single slowest op in the whole codec on TPU (general gathers
+    don't vectorize); computing cos of the *quantized* angle on the VPU
+    is bit-identical up to 1 ulp of libm cosf and ~50x faster.  The
+    truncation — the part that actually shapes the audio — is kept
+    exactly."""
     idx = (jnp.asarray(angle, jnp.float32) * np.float32(512.0 / np.pi)
            ).astype(jnp.int32) & 1023
-    return jnp.asarray(T.COS_TBL)[idx]
+    return jnp.cos(idx.astype(jnp.float32) * np.float32(np.pi / 512.0))
 
 
 def _idct_traced(coef, n, m: int, n_out: int = T.L_MAX):
