@@ -8,5 +8,14 @@ from .cfile import CFile, load, save
 from .gsmtap import GsmtapSink, make_packet
 from .receiver import ChanDesc, Receiver
 
+
+def __getattr__(name):
+    # lazy: wideband pulls in the channelizer stack
+    if name == "WidebandReceiver":
+        from .wideband import WidebandReceiver
+        return WidebandReceiver
+    raise AttributeError(name)
+
+
 __all__ = ["CFile", "load", "save", "GsmtapSink", "make_packet",
-           "ChanDesc", "Receiver"]
+           "ChanDesc", "Receiver", "WidebandReceiver"]

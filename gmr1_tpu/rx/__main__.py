@@ -1,6 +1,15 @@
 """Receiver CLI (reference src/gmr1_rx.c:913 usage).
 
+Per-carrier mode (one pre-channelized capture, like the reference):
+
     python -m gmr1_tpu.rx SPS BCCH.cfile [TCH.cfile [KEYHEX [TCH_CSD.cfile]]]
+
+Wideband mode (one raw wideband capture; channelize + decode every
+carrier in batched device calls — the reference needs
+utils/gmr1_rx_sdr.py + one gmr1_rx process per ARFCN for this):
+
+    python -m gmr1_tpu.rx --wideband CAP.cfile --fs HZ --center HZ \\
+        [--arfcns 970,974] [--snr-min 3] [KEYHEX via --key]
 
 Options: --pcap FILE (also write GSMTap to pcap), --no-udp, --fcch3-l,
 --fcch3-s (FCCH3 burst variants), -v.
@@ -19,11 +28,21 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="gmr1_tpu.rx",
         description="GMR-1 receiver: BCCH/CCCH/TCH3/TCH9 from cfile captures")
-    ap.add_argument("sps", type=int)
-    ap.add_argument("bcch")
+    ap.add_argument("sps", type=int, nargs="?")
+    ap.add_argument("bcch", nargs="?")
     ap.add_argument("tch", nargs="?")
     ap.add_argument("key", nargs="?", help="A5 key (16 hex digits)")
     ap.add_argument("tch_csd", nargs="?")
+    ap.add_argument("--wideband", metavar="CAP",
+                    help="raw wideband capture; decode every carrier")
+    ap.add_argument("--fs", type=float, help="wideband sample rate (Hz)")
+    ap.add_argument("--center", type=float,
+                    help="wideband center frequency (Hz)")
+    ap.add_argument("--arfcns", help="comma list restricting the scan")
+    ap.add_argument("--snr-min", type=float, default=2.0,
+                    help="FCCH SNR gate for carrier activation")
+    ap.add_argument("--key", dest="key_opt", help="A5 key (16 hex digits)")
+    ap.add_argument("--sps", dest="sps_opt", type=int, default=4)
     ap.add_argument("--pcap", help="write GSMTap stream to a pcap file")
     ap.add_argument("--no-udp", action="store_true")
     ap.add_argument("--fcch3-l", action="store_true",
@@ -33,6 +52,41 @@ def main(argv=None) -> int:
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
+    ft = fcch.FCCH
+    if args.fcch3_l:
+        ft = fcch.FCCH3_LBAND
+    if args.fcch3_s:
+        ft = fcch.FCCH3_SBAND
+
+    sink = GsmtapSink(host=None if args.no_udp else "127.0.0.1",
+                      pcap_path=args.pcap)
+
+    if args.wideband:
+        if args.fs is None or args.center is None:
+            print("[!] --wideband needs --fs and --center", file=sys.stderr)
+            return 1
+        kc = bytes.fromhex(args.key_opt) if args.key_opt else None
+        if kc is not None and len(kc) != 8:
+            print("[!] Invalid key", file=sys.stderr)
+            return 1
+        arfcns = [int(a) for a in args.arfcns.split(",")] \
+            if args.arfcns else None
+        from .wideband import WidebandReceiver
+        rx = WidebandReceiver(
+            CFile(args.wideband).data, args.fs, args.center,
+            sps=args.sps_opt, kc=kc, sink=sink, arfcns=arfcns,
+            snr_min=args.snr_min, fcch_type=ft, verbose=args.verbose)
+        n = rx.run()
+        per = ", ".join(f"{c.arfcn}:{len(c.frames)}" for c in rx.carriers
+                        if c.frames)
+        print(f"[+] {n} L2 frames decoded across "
+              f"{len(rx.carriers)} carriers ({per})", file=sys.stderr)
+        sink.close()
+        return 0
+
+    if args.sps is None or args.bcch is None:
+        ap.print_usage(sys.stderr)
+        return 1
     if not 1 <= args.sps <= 16:
         print("[!] sps must be within [1,16]", file=sys.stderr)
         return 1
@@ -42,14 +96,6 @@ def main(argv=None) -> int:
         print("[!] Invalid key", file=sys.stderr)
         return 1
 
-    ft = fcch.FCCH
-    if args.fcch3_l:
-        ft = fcch.FCCH3_LBAND
-    if args.fcch3_s:
-        ft = fcch.FCCH3_SBAND
-
-    sink = GsmtapSink(host=None if args.no_udp else "127.0.0.1",
-                      pcap_path=args.pcap)
     rx = Receiver(
         CFile(args.bcch), args.sps,
         tch_file=CFile(args.tch) if args.tch else None,

@@ -36,15 +36,20 @@ GMR1_TCH6 = 0x14
 GMR1_TCH9 = 0x18
 
 
-def make_packet(chan_type: int, fn: int, tn: int, l2: bytes) -> bytes:
-    """GSMTap v2 header + payload (gsmtap.c:44-68 field-for-field)."""
+def make_packet(chan_type: int, fn: int, tn: int, l2: bytes,
+                arfcn: int = 0) -> bytes:
+    """GSMTap v2 header + payload (gsmtap.c:44-68 field-for-field).
+
+    The reference hardcodes arfcn=0 (gmr1_rx decodes one anonymous
+    cfile); the wideband receiver knows each carrier's ARFCN and tags
+    it so Wireshark can tell carriers apart."""
     hdr = struct.pack(
         "!BBBBHbbIBBBB",
         GSMTAP_VERSION,          # version
         4,                       # hdr_len in 32-bit words
         GSMTAP_TYPE_GMR1_UM,     # type
         int(tn) & 0xFF,          # timeslot
-        0,                       # arfcn
+        int(arfcn) & 0x3FFF,     # arfcn
         0,                       # signal_dbm
         0,                       # snr_db
         int(fn) & 0xFFFFFFFF,    # frame_number (BE)
@@ -71,8 +76,9 @@ class GsmtapSink:
             self.pcap.write(struct.pack(
                 "<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 101))
 
-    def send(self, chan_type: int, fn: int, tn: int, l2) -> None:
-        pkt = make_packet(chan_type, fn, tn, bytes(bytearray(l2)))
+    def send(self, chan_type: int, fn: int, tn: int, l2,
+             arfcn: int = 0) -> None:
+        pkt = make_packet(chan_type, fn, tn, bytes(bytearray(l2)), arfcn)
         if self.sock is not None:
             try:
                 self.sock.sendto(pkt, self.addr)

@@ -33,12 +33,15 @@ class DkabResult(NamedTuple):
     found: jax.Array   # (...,) bool peak/valley power-ratio gate
 
 
-@partial(jax.jit, static_argnames=("sps", "p"))
-def demod(x, sps: int, p: int, freq_shift=0.0) -> DkabResult:
+@partial(jax.jit, static_argnames=("sps",))
+def demod(x, sps: int, p, freq_shift=0.0) -> DkabResult:
     """Find + demodulate a DKAB (gmr1_dkab_demod, dkab.c:188).
 
     x: planar (..., N, 2) with N >= DKAB_SYMS*sps (extra length is the
-    TOA search window).  p is the DKAB position within the slot.
+    TOA search window).  p is the DKAB position within the slot —
+    a scalar or a per-batch (...,) array (the batched wideband receiver
+    demodulates many carriers with different assigned positions in one
+    call, so the window offsets are gathers rather than static slices).
     """
     x = jnp.asarray(x, jnp.float32)
     y = dsp.sig_normalize(
@@ -48,7 +51,8 @@ def demod(x, sps: int, p: int, freq_shift=0.0) -> DkabResult:
     w = n - DKAB_SYMS * sps + 1
     assert w > 0, (n, sps)
 
-    ofs0 = sps * (2 + p)
+    p = jnp.asarray(p, jnp.int32)
+    ofs0 = sps * (2 + p)                  # scalar or (...,)
     ofs1 = sps * (2 + p + 59)
     d = sps * 5
 
@@ -56,8 +60,15 @@ def demod(x, sps: int, p: int, freq_shift=0.0) -> DkabResult:
     cs = jnp.cumsum(e, axis=-1)
     zero = jnp.zeros((*cs.shape[:-1], 1), cs.dtype)
     cs = jnp.concatenate([zero, cs], axis=-1)   # cs[k] = sum e[:k]
+    cs = jnp.broadcast_to(cs, (*jnp.broadcast_shapes(
+        cs.shape[:-1], p.shape), cs.shape[-1]))
+    iw = jnp.arange(w)
+    bshape = cs.shape[:-1]
+
     def winsum(ofs):
-        return cs[..., ofs + d:ofs + d + w] - cs[..., ofs:ofs + w]
+        base = jnp.broadcast_to(ofs[..., None] + iw, (*bshape, w))
+        return (jnp.take_along_axis(cs, base + d, axis=-1)
+                - jnp.take_along_axis(cs, base, axis=-1))
     pwr = winsum(ofs0) + winsum(ofs1)           # (..., w)
 
     mi = jnp.argmax(pwr, axis=-1)
@@ -77,17 +88,19 @@ def demod(x, sps: int, p: int, freq_shift=0.0) -> DkabResult:
     toa_i = jnp.clip(jnp.round(toa).astype(jnp.int32), 0, w - 1)
     egy_peak = (jnp.take_along_axis(pwr, toa_i[..., None], -1)[..., 0]
                 / (2 * d))
-    l_valley = ofs1 - ofs0 - d
-    valley = (cs[..., ofs0 + d + l_valley:ofs0 + d + l_valley + w]
-              - cs[..., ofs0 + d:ofs0 + d + w])
+    l_valley = sps * 54                   # ofs1 - ofs0 - d, p-independent
+    base_v = jnp.broadcast_to(ofs0[..., None] + d + iw, (*bshape, w))
+    valley = (jnp.take_along_axis(cs, base_v + l_valley, axis=-1)
+              - jnp.take_along_axis(cs, base_v, axis=-1))
     egy_valley = (jnp.take_along_axis(valley, toa_i[..., None], -1)[..., 0]
                   / l_valley)
     found = egy_peak > PWR_RATIO_THRESHOLD * egy_valley
 
     # differential-phase soft bits (dkab.c:155-172)
-    i8 = np.arange(8)
-    rel = np.where(i8 >> 2 == 0, ofs0, ofs1) + sps * (i8 & 3)
-    idx = toa_i[..., None] + jnp.asarray(rel)
+    i8 = jnp.arange(8)
+    rel = (jnp.where(i8 < 4, ofs0[..., None], ofs1[..., None])
+           + sps * (i8 & 3))
+    idx = toa_i[..., None] + rel
     a = jnp.take_along_axis(y, idx[..., None], axis=-2)
     b = jnp.take_along_axis(y, (idx + sps)[..., None], axis=-2)
     pd = cplx.angle(cplx.conj_mul(b, a))    # arg(a * conj(b))

@@ -23,12 +23,14 @@ def _rc(t, beta=0.35):
     return np.where(np.abs(den) < 1e-8, np.sinc(t) * np.pi / 4, out)
 
 
-def channel(x1, sps, delay, freq_err_per_sym=0.0, sigma=0.0, win=20, rng=None):
+def channel(x1, sps, delay, freq_err_per_sym=0.0, sigma=0.0, win=20, rng=None,
+            pulse="rc"):
     """1-sps planar modulated burst -> band-limited oversampled capture.
 
     Pulse-shape-interpolates the symbol stream to sps samples/symbol
-    (supports fractional `delay` in samples), applies a carrier offset
-    and AWGN.  Input and output are planar complex (..., N, 2) float32.
+    (supports fractional `delay` in samples; pulse 'rc' or 'sinc'),
+    applies a carrier offset and AWGN.  Input and output are planar
+    complex (..., N, 2) float32.
     """
     x1 = np.asarray(x1)
     xc = x1[..., 0] + 1j * x1[..., 1]
@@ -37,7 +39,7 @@ def channel(x1, sps, delay, freq_err_per_sym=0.0, sigma=0.0, win=20, rng=None):
     n = np.arange(total)
     # sample n sits at symbol time (n - delay)/sps
     t = (n[:, None] - delay) / sps - np.arange(nsym)[None, :]
-    h = _rc(t).astype(np.float32)
+    h = (_rc(t) if pulse == "rc" else np.sinc(t)).astype(np.float32)
     out = xc @ h.T
     out = out * np.exp(1j * freq_err_per_sym / sps * n)
     if sigma and rng is not None:

@@ -126,7 +126,8 @@ def test_demod_parity_sps1_fractional(name, delay, oracle_fixed, rng):
     sps, win = 1, 8
     ebits = rng.integers(0, 2, size=(1, bu.ebits)).astype(np.uint8)
     x1 = np.asarray(modem.mod(bu, ebits))
-    cap = channel(x1, sps, delay=delay, rng=rng, sigma=0.03, win=win)[0]
+    cap = channel(x1, sps, delay=delay, rng=rng, sigma=0.03, win=win,
+                  pulse="sinc")[0]
     e_ref, sid_ref, toa_ref, _ = oracle_fixed.demod(name, cap, sps)
     # the estimated TOA must have |frac| > 0.1 or the sinc interpolation
     # branch (pi4cxpsk.c:310) is skipped on both sides

@@ -1,0 +1,208 @@
+"""End-to-end batched wideband receiver test.
+
+Builds a multi-carrier wideband capture (three ARFCNs with the real
+TDMA structure on a 500 kHz band) and runs WidebandReceiver: batched
+FCCH acquisition across the grid, per-carrier TDMA lock, BCCH/CCCH,
+TCH3 (speech + FACCH3 + DKAB + teardown) and the TCH9 handoff — the
+reference's utils/gmr1_process_recording.py:89-110 split-then-decode
+workflow as one batched program.
+"""
+
+import numpy as np
+import pytest
+
+from gmr1_tpu.channelizer.arfcn import Channel
+from gmr1_tpu.l1 import bcch, ccch, facch3, facch9, tch3, tch9
+from gmr1_tpu.rx import gsmtap as gt
+from gmr1_tpu.rx.wideband import WidebandReceiver
+from gmr1_tpu.sdr import bursts as BU
+from gmr1_tpu.sdr import fcch, modem
+from gmr1_tpu.ops import cplx
+
+from tests.test_receiver import (Capture, F0, FRAME_LEN, START, dkab_signal,
+                            imm_ass_l2, si1_l2)
+
+SPS = 4
+FS = 500e3
+CENTER_ARFCN = 500
+CENTER = 1525e6 + 31250.0 * CENTER_ARFCN
+CARRIER_RATE = 23400.0 * SPS
+
+A_BCCH, A_FULL, A_AUX = 495, 500, 504     # seeded ARFCNs
+
+
+def mix_wideband(captures: dict[int, np.ndarray], rng) -> np.ndarray:
+    """Per-carrier baseband at 4 sps -> one wideband capture at FS."""
+    n_in = min(len(b) for b in captures.values())
+    n_wb = int(np.floor((n_in - 1) * FS / CARRIER_RATE))
+    pos = np.arange(n_wb) * CARRIER_RATE / FS
+    grid = np.arange(n_in, dtype=np.float64)
+    t = np.arange(n_wb) / FS
+    wb = np.zeros(n_wb, np.complex128)
+    for arfcn, buf in captures.items():
+        buf = buf[:n_in]
+        bb = np.interp(pos, grid, buf.real) + 1j * np.interp(
+            pos, grid, buf.imag)
+        df = Channel(arfcn).frequency - CENTER
+        wb += bb * np.exp(2j * np.pi * df * t)
+    return wb.astype(np.complex64)
+
+
+def fill_bcch(cap: Capture, rng) -> dict[int, np.ndarray]:
+    """FCCH every 8 frames + SI1 BCCH at k%8==2.  Returns {fn: l2}."""
+    chirp = cplx.to_complex(
+        fcch._chirp_np(fcch.FCCH, SPS, "dual")) / np.sqrt(2)
+    si1s = {}
+    for k in (0, 8, 16, 24):
+        cap.place_raw(k, 0, chirp)
+    for k in (2, 10, 18, 26):
+        l2 = si1_l2(rng, F0 + k)
+        si1s[F0 + k] = l2
+        cap.place_syms(k, 0, np.asarray(modem.mod(BU.BCCH, bcch.encode(l2))))
+    return si1s
+
+
+@pytest.fixture(scope="module")
+def wb_e2e():
+    rng = np.random.default_rng(0xBEEF)
+    n_frames = 28
+    caps = {a: Capture(rng, n_frames=n_frames, noise=0.005)
+            for a in (A_BCCH, A_FULL, A_AUX)}
+    si1 = {a: fill_bcch(caps[a], rng) for a in caps}
+
+    # full TCH story on A_FULL (mirrors tests/test_receiver.py e2e)
+    cap = caps[A_FULL]
+    tn, p = 10, 9
+    ia = imm_ass_l2(rng, tn, p)
+    cap.place_syms(3, 0, np.asarray(modem.mod(BU.DC6, ccch.encode(ia))))
+
+    speech_frames = []
+    for k in (4, 5, 6):
+        f0 = rng.integers(0, 256, 10, dtype=np.uint8)
+        f1 = rng.integers(0, 256, 10, dtype=np.uint8)
+        speech_frames += [bytes(f0), bytes(f1)]
+        e = tch3.encode(f0, f1, np.zeros(4, np.uint8))
+        cap.place_syms(k, tn, np.asarray(modem.mod(BU.NT3_SPEECH, e)))
+
+    tn9 = 13
+    fl2 = rng.integers(0, 256, 10, dtype=np.uint8)
+    fl2[3], fl2[4] = 0x06, 0x2E
+    fl2[5] = (fl2[5] & 0xFC) | ((tn9 >> 3) & 0x03)
+    fl2[6] = (fl2[6] & 0x1F) | ((tn9 & 0x07) << 5)
+    fl2[9] &= 0xF0
+    fe = np.asarray(facch3.encode(fl2, np.zeros(32, np.uint8))).reshape(4, 104)
+    for bi, k in enumerate((8, 9, 10, 11)):
+        cap.place_syms(k, tn,
+                       np.asarray(modem.mod(BU.NT3_FACCH, fe[bi], sync_id=0)))
+
+    dkab_bits = [0, 1, 1, 0, 1, 0, 0, 1]
+    for k in (12, 13):
+        cap.place_raw(k, tn, dkab_signal(rng, p, dkab_bits))
+
+    from gmr1_tpu import native
+    kc = np.zeros(8, np.uint8)
+
+    def a5(fn, n):
+        return native.a5_keystream(kc, fn, n)[0]
+
+    f9l2 = rng.integers(0, 256, 38, dtype=np.uint8)
+    f9l2[37] &= 0xF0
+    e9 = np.asarray(facch9.encode(f9l2, np.zeros(10, np.uint8),
+                                  np.zeros(4, np.uint8), a5(F0 + 12, 658)))
+    cap.place_syms(12, tn9, np.asarray(modem.mod(BU.NT9, e9, sync_id=0)))
+
+    csd_payloads = [rng.integers(0, 256, 60, dtype=np.uint8)
+                    for _ in range(5)]
+    il_e = tch9.interleaver_init(dtype=np.uint8)
+    for i, k in enumerate(range(13, 18)):
+        il_e, eb = tch9.encode(csd_payloads[i], tch9.MODE_9K6,
+                               np.zeros(10, np.uint8),
+                               np.zeros(4, np.uint8), il_e, a5(F0 + k, 658))
+        cap.place_syms(k, tn9, np.asarray(modem.mod(BU.NT9, np.asarray(eb),
+                                                    sync_id=1)))
+
+    wb = mix_wideband({a: c.buf for a, c in caps.items()}, rng)
+    rx = WidebandReceiver(wb, FS, CENTER, sps=SPS, verbose=False)
+    rx.run()
+    return rx, si1, speech_frames, bytes(fl2), bytes(f9l2), [
+        bytes(bytearray(c)) for c in csd_payloads], tn, tn9
+
+
+def _car(rx, arfcn):
+    return next(c for c in rx.carriers if c.arfcn == arfcn)
+
+
+def test_acquisition_finds_seeded_carriers(wb_e2e):
+    rx, *_ = wb_e2e
+    found = {c.arfcn for c in rx.carriers}
+    assert {A_BCCH, A_FULL, A_AUX} <= found
+
+
+def test_bcch_all_carriers(wb_e2e):
+    rx, si1, *_ = wb_e2e
+    for arfcn in (A_BCCH, A_FULL, A_AUX):
+        car = _car(rx, arfcn)
+        got = {fn: l2 for t, fn, tn_, l2 in car.frames if t == gt.GMR1_BCCH}
+        decoded = [fn for fn in si1[arfcn] if fn in got]
+        assert len(decoded) >= 3, (arfcn, sorted(got), sorted(si1[arfcn]))
+        for fn in decoded:
+            assert got[fn] == bytes(bytearray(si1[arfcn][fn]))
+
+
+def test_noise_carriers_stay_quiet(wb_e2e):
+    rx, *_ = wb_e2e
+    seeded = {A_BCCH, A_FULL, A_AUX}
+    for car in rx.carriers:
+        if car.arfcn not in seeded:
+            assert not any(t == gt.GMR1_BCCH for t, *_ in car.frames)
+
+
+def test_ccch_imm_ass(wb_e2e):
+    rx, *_ = wb_e2e
+    car = _car(rx, A_FULL)
+    cc = [l2 for t, fn, _, l2 in car.frames if t == gt.GMR1_CCCH]
+    assert any(l2[1] == 0x06 and l2[2] == 0x3F for l2 in cc)
+
+
+def test_tch3_speech(wb_e2e):
+    rx, _, speech_frames, *_ = wb_e2e
+    car = _car(rx, A_FULL)
+    assert car.speech[:6] == speech_frames
+
+
+def test_facch3_and_dkab(wb_e2e):
+    rx, _, _, fl2, *_ , tn, _tn9 = wb_e2e
+    car = _car(rx, A_FULL)
+    fa = [l2 for t, fn, tn_, l2 in car.frames
+          if t == (gt.GMR1_TCH3 | gt.GMR1_FACCH)]
+    assert fl2 in fa
+    dk = [l2 for t, fn, tn_, l2 in car.frames
+          if t == (gt.GMR1_TCH3 | gt.GMR1_DKAB)]
+    assert len(dk) == 2
+    for d in dk:
+        assert (np.frombuffer(d, np.int8) < 0).tolist() == \
+            [0, 1, 1, 0, 1, 0, 0, 1]
+
+
+def test_tch3_teardown(wb_e2e):
+    rx, *_ = wb_e2e
+    car = _car(rx, A_FULL)
+    assert not car.cd.tch3.active        # silence -> weak count -> end
+
+
+def test_tch9_facch9_and_csd(wb_e2e):
+    rx, _, _, _, f9l2, csd_payloads, _tn, tn9 = wb_e2e
+    car = _car(rx, A_FULL)
+    f9 = [l2 for t, fn, tn_, l2 in car.frames
+          if t == (gt.GMR1_TCH9 | gt.GMR1_FACCH)]
+    assert f9l2 in f9
+    # depth-3 interleave: payload i decodes 2 bursts later; the first
+    # three payloads must appear, in order, within the CSD stream
+    idx = [car.csd.index(p) for p in csd_payloads[:3] if p in car.csd]
+    assert len(idx) == 3 and idx == sorted(idx)
+
+
+def test_frames_tagged_with_arfcn(wb_e2e):
+    rx, *_ = wb_e2e
+    arfcns = {a for a, *_ in rx.frames}
+    assert {A_BCCH, A_FULL, A_AUX} <= arfcns
