@@ -32,6 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..channelizer.pfb import Channelizer, _analyze_block
 from ..l1 import bcch
+from ..ops import cplx
+from ..ops.interleave import InterleaverState
 from ..sdr import bursts as BU
 from ..sdr import modem
 
@@ -122,3 +124,195 @@ class ShardedTransponder:
         """Run one SPMD step.  Returns (l2 (M, 24) carrier-sharded,
         crc_fail (M,), metric (M,), n_bad scalar)."""
         return self._step(x_sharded)
+
+
+class StreamingTransponder:
+    """STREAMING multi-chip pipeline: state carried across steps.
+
+    Each `step(x, carry)` consumes the NEXT D*n_local wideband samples
+    (time-sharded) and runs a mixed per-carrier workload over F TDMA
+    frames on every carrier of the transponder:
+
+      * PFB analysis with a REAL left-edge halo: device 0 uses the tail
+        of the previous step (carried state), devices 1..D-1 ppermute
+        their left neighbour's tail — so block boundaries are exact and
+        the output stream is seamless across steps (overlap-save).
+      * all_to_all reshard to carrier-sharded, then per carrier:
+        - BCCH demod + Viterbi + CRC on the sirfn%8==2 frame,
+        - NT3 speech demod + TCH3 decode on every frame,
+        - DKAB demod with the burst/DKAB energy EMA trackers
+          (gmr1_rx.c:570-581) carried across steps,
+        - NT9 demod + TCH9 9k6 decode chaining the depth-3 inter-burst
+          deinterleaver (tch9.c:109) across frames AND steps.
+
+    Geometry: at sps=4 one TDMA frame is exactly 2500 channel rows
+    (936*4 output samples * 625/936), so F frames = F*2500 rows stream
+    through with the RRC polyphase at phase 0 every frame — the static
+    per-frame window matrices computed once apply to every step.
+
+    ICI traffic per step per device (planar float32):
+      halo:       p*M*2*4 bytes (ppermute)
+      reshard:    R_local*M*2*4 * (D-1)/D bytes each way (all_to_all)
+    """
+
+    FRAME_ROWS = 2500          # chan rows per TDMA frame at sps=4
+
+    def __init__(self, chz: Channelizer, mesh: Mesh, frames: int = 8,
+                 burst_pos: int = 60, win: int = 16, tn_tch: int = 4,
+                 tn_tch9: int = 8, dkab_p: int = 9, bcch_frame: int = 2):
+        from ..l1 import tch3, tch9
+        from ..sdr import dkab
+
+        sps = 4
+        axis = mesh.axis_names[0]
+        d = mesh.devices.size
+        m = chz.n_chans
+        ana = chz.analyzer
+        assert m % d == 0, (m, d)
+        r_total = frames * self.FRAME_ROWS
+        assert r_total % d == 0, (r_total, d)
+        r_local = r_total // d
+        n_local = r_local * ana.hop
+        assert n_local % m == 0, (n_local, m)
+        self.chz, self.mesh, self.axis = chz, mesh, axis
+        self.n_devices, self.n_local, self.frames = d, n_local, frames
+        self.sps, self.m_local = sps, m // d
+        frame_len = 936 * sps
+
+        rrc = chz._rrc_resampler(1)
+        halo_len = ana.p * ana.m
+        self.halo_len = halo_len
+        self.ici_bytes_per_step = (
+            halo_len * 2 * 4
+            + 2 * r_local * m * 2 * 4 * (d - 1) // d)
+
+        # static per-frame window geometry (phase-0 alignment, see doc)
+        def geom(slot, blen_syms, w):
+            out = []
+            for f in range(frames):
+                pos = burst_pos + f * frame_len + slot * 39 * sps - (w >> 1)
+                k_min, wmat = rrc.window_matrix(pos, blen_syms * sps + w)
+                assert k_min + wmat.shape[1] <= r_total, (
+                    "window past block end", f, slot)
+                out.append((k_min, jnp.asarray(wmat)))
+            return out
+        g_bcch = geom(0, BU.BCCH.len_syms, win)[bcch_frame]
+        w3 = sps + sps // 2
+        g_tch = geom(tn_tch, BU.NT3_SPEECH.len_syms, w3)
+        g_tch9 = geom(tn_tch9, BU.NT9.len_syms, w3)
+
+        def init_carry():
+            return dict(
+                halo=jnp.zeros((halo_len, 2), jnp.float32),
+                ema_burst=jnp.zeros((self.m_local,), jnp.float32),
+                ema_dkab=jnp.zeros((self.m_local,), jnp.float32),
+                il=jax.vmap(lambda _: tch9.interleaver_init())(
+                    jnp.arange(self.m_local)),
+            )
+        self.init_carry = init_carry
+
+        def window(bank_c, k_min, wmat):
+            xw = jax.lax.slice_in_dim(bank_c, k_min, k_min + wmat.shape[1],
+                                      axis=1)                  # (Ml,K,2)
+            return jnp.einsum("nk,mkp->mnp", wmat, xw)         # (Ml,n,2)
+
+        def step(x_local, carry):
+            # 1. halo: left neighbour's tail; device 0 uses carried state
+            tail = x_local[-halo_len:]
+            recv = jax.lax.ppermute(
+                tail, axis, perm=[(i, (i + 1) % d) for i in range(d)])
+            dev = jax.lax.axis_index(axis)
+            halo = jnp.where(dev == 0, carry["halo"], recv)
+            blk = jnp.concatenate([halo, x_local], axis=0)
+
+            # 2. local PFB analysis (time shard)
+            bank = _analyze_block(blk, ana.h_poly, ana.m, ana.p, ana.hop)
+
+            # 3. reshard: time-sharded -> carrier-sharded
+            bank_c = jax.lax.all_to_all(
+                bank, axis, split_axis=1, concat_axis=0, tiled=True)
+            bank_c = jnp.moveaxis(bank_c, 1, 0)        # (M/D, R_tot, 2)
+
+            # 4a. BCCH on the sirfn%8==2 frame
+            wb = window(bank_c, *g_bcch)
+            rb = modem.demod(BU.BCCH, wb, sps=sps, win=win)
+            l2b, crcb, _ = bcch.decode(rb.ebits)
+
+            # 4b. NT3 speech on every frame (batched over F)
+            wt = jnp.stack([window(bank_c, *g) for g in g_tch], axis=0)
+            rs = modem.demod(BU.NT3_SPEECH, wt, sps=sps, win=w3)
+            sf0, sf1, _s, smet = tch3.decode(rs.ebits)
+
+            # 4c. DKAB + EMA trackers, scanned over frames (sequential
+            # EMA state, gmr1_rx.c:570-581, branch-free)
+            def dk_step(em, wf):
+                be = jnp.sum(cplx.abs2(
+                    wf[:, wf.shape[1] >> 5: -(wf.shape[1] >> 5)]),
+                    axis=-1) / wf.shape[1]
+                det = (em["d"] + em["b"]) / 4.0
+                rd = dkab.demod(wf, sps, dkab_p)
+                is_dkab = be < det
+                em = dict(
+                    b=jnp.where(is_dkab, em["b"], 0.1 * be + 0.9 * em["b"]),
+                    d=jnp.where(is_dkab & rd.found,
+                                0.1 * be + 0.9 * em["d"], em["d"]))
+                return em, (rd.ebits, rd.found & is_dkab)
+            em0 = dict(b=carry["ema_burst"], d=carry["ema_dkab"])
+            em, (dk_bits, dk_found) = jax.lax.scan(dk_step, em0, wt)
+
+            # 4d. TCH9 with cross-frame/step deinterleaver chain
+            w9 = jnp.stack([window(bank_c, *g) for g in g_tch9], axis=0)
+            r9 = modem.demod(BU.NT9, w9, sps=sps, win=w3)
+
+            def t9_step(il, eb):
+                il2, l2, _sa, _st, met = jax.vmap(
+                    lambda i, e: tch9.decode(e, tch9.MODE_9K6, i))(il, eb)
+                return il2, (l2, met)
+            il, (l2_t9, met9) = jax.lax.scan(t9_step, carry["il"], r9.ebits)
+
+            n_bad = jax.lax.psum(jnp.sum(crcb), axis)
+            carry_out = dict(halo=recv, ema_burst=em["b"],
+                             ema_dkab=em["d"], il=il)
+            out = dict(l2b=l2b, crcb=crcb, sf0=sf0, sf1=sf1,
+                       dk_bits=dk_bits, dk_found=dk_found,
+                       l2_t9=l2_t9, met9=met9, n_bad=n_bad)
+            return out, carry_out
+
+        spec_c = dict(halo=P(axis), ema_burst=P(axis), ema_dkab=P(axis),
+                      il=InterleaverState(buf=P(axis), n=P(axis)))
+        # carrier-sharded outputs: (Ml, ...) concat on axis 0,
+        # frame-major outputs (F, Ml, ...) concat on axis 1
+        out_spec = dict(l2b=P(axis), crcb=P(axis),
+                        sf0=P(None, axis), sf1=P(None, axis),
+                        dk_bits=P(None, axis), dk_found=P(None, axis),
+                        l2_t9=P(None, axis), met9=P(None, axis), n_bad=P())
+        self._step = jax.jit(jax.shard_map(
+            step, mesh=mesh, in_specs=(P(axis), spec_c),
+            out_specs=(out_spec, spec_c)))
+
+    def shard_input(self, x: np.ndarray):
+        assert x.shape[0] == self.n_devices * self.n_local, \
+            (x.shape, self.n_devices, self.n_local)
+        return jax.device_put(
+            jnp.asarray(x, jnp.float32),
+            NamedSharding(self.mesh, P(self.axis)))
+
+    def carry_init(self):
+        """Initial streaming state, sharded over the mesh."""
+        c = self.init_carry()
+
+        def rep(v):
+            # halo is per-device state: replicate host value then let
+            # shard_map treat it as device-local (P(axis) over a
+            # D-times-tiled array)
+            return jnp.tile(v, (self.n_devices,) + (1,) * (v.ndim - 1))
+        return dict(
+            halo=rep(c["halo"]),
+            ema_burst=rep(c["ema_burst"]),
+            ema_dkab=rep(c["ema_dkab"]),
+            il=type(c["il"])(buf=rep(c["il"].buf), n=rep(c["il"].n)),
+        )
+
+    def step(self, x_sharded, carry):
+        """One streaming step.  Returns (outputs dict, new carry)."""
+        return self._step(x_sharded, carry)
