@@ -187,16 +187,16 @@ class StreamingTransponder:
             + 2 * r_local * m * 2 * 4 * (d - 1) // d)
 
         # static per-frame window geometry (phase-0 alignment, see doc)
-        def geom(slot, blen_syms, w):
+        def geom(slot, blen_syms, w, frame_list=None):
             out = []
-            for f in range(frames):
+            for f in (range(frames) if frame_list is None else frame_list):
                 pos = burst_pos + f * frame_len + slot * 39 * sps - (w >> 1)
                 k_min, wmat = rrc.window_matrix(pos, blen_syms * sps + w)
                 assert k_min + wmat.shape[1] <= r_total, (
                     "window past block end", f, slot)
                 out.append((k_min, jnp.asarray(wmat)))
             return out
-        g_bcch = geom(0, BU.BCCH.len_syms, win)[bcch_frame]
+        g_bcch = geom(0, BU.BCCH.len_syms, win, [bcch_frame])[0]
         w3 = sps + sps // 2
         g_tch = geom(tn_tch, BU.NT3_SPEECH.len_syms, w3)
         g_tch9 = geom(tn_tch9, BU.NT9.len_syms, w3)

@@ -170,7 +170,9 @@ def streaming(mesh):
 
     chz = Channelizer(FS, CENTER, sps=SPS)
     F, STEPS = 8, 2
-    TN_T, TN9, DKP = 4, 8, 9
+    # BCCH occupies slots 0-5 (234 syms); keep TCH3 (3 slots) and TCH9
+    # (9 slots) clear of it and of each other.
+    TN_T, TN9, DKP = 6, 12, 9
     frame_bb = 936 * SPS                    # 4-sps samples per frame
     n_bb = STEPS * F * frame_bb + 2000
 
