@@ -41,6 +41,8 @@ def main(argv=None) -> int:
     ap.add_argument("--arfcns", help="comma list restricting the scan")
     ap.add_argument("--snr-min", type=float, default=2.0,
                     help="FCCH SNR gate for carrier activation")
+    ap.add_argument("--beams", type=int, default=1,
+                    help="FCCH beams per carrier (multi-beam scan)")
     ap.add_argument("--key", dest="key_opt", help="A5 key (16 hex digits)")
     ap.add_argument("--sps", dest="sps_opt", type=int, default=4)
     ap.add_argument("--pcap", help="write GSMTap stream to a pcap file")
@@ -75,7 +77,8 @@ def main(argv=None) -> int:
         rx = WidebandReceiver(
             CFile(args.wideband).data, args.fs, args.center,
             sps=args.sps_opt, kc=kc, sink=sink, arfcns=arfcns,
-            snr_min=args.snr_min, fcch_type=ft, verbose=args.verbose)
+            snr_min=args.snr_min, fcch_type=ft, verbose=args.verbose,
+            beams=args.beams)
         n = rx.run()
         per = ", ".join(f"{c.arfcn}:{len(c.frames)}" for c in rx.carriers
                         if c.frames)

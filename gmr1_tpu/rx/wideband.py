@@ -1,30 +1,48 @@
-"""Batched full-transponder wideband receiver.
+"""Batched full-transponder wideband receiver, block-streamed + shardable.
 
 The application form of the transponder pipeline: one wideband capture
 in, every carrier decoded out.  The reference achieves this with a
 GNURadio channelizer process feeding one `gmr1_rx` process per ARFCN
 (utils/gmr1_process_recording.py:89-110 + src/gmr1_rx.c:852-895); here
 it is a single program where the chip always sees large static-shape
-batches:
+batches and device memory stays O(block), not O(capture):
 
-  channelize once (PFB analysis, device-resident bank)
-    -> batched FCCH acquisition over EVERY grid channel at once
-    -> per-active-carrier RRC streams, kept on device
-    -> TDMA block loop over F-frame blocks:
-         phase 1  ONE call demodulates + FEC-decodes the BCCH and CCCH
-                  windows of every (carrier, frame) pair in the block
-         phase 2  ONE call runs the whole TCH3 slot path for carriers
-                  with an assigned channel: window energy, DKAB, burst
-                  type detect, FACCH *and* speech demod — everything
-                  computed, winner selected host-side
-         phase 3  ONE call demodulates NT9 windows for TCH9 carriers
-       The per-carrier channel FSMs (gmr1_rx.c:356-600) then walk the
-       batched results on host: they are tiny and sequential, and the
-       host pays ~3 tunnel RTTs per block instead of one per burst.
+  TDMA block loop (block_frames frames = 0.32 s per step), ONE ingest
+  step per block:
+    PFB analysis of the block's wideband samples with the carried
+    overlap-save halo (streaming analysis is sample-exact vs offline)
+      -> [mesh given] ppermute halo + all_to_all reshard: time-sharded
+         analysis flips to carrier-sharded — the distributed-filterbank
+         transpose, riding ICI
+      -> per-carrier RRC resample to sps x symbol rate via ONE static
+         per-frame window matrix (MXU matmul; geometry repeats exactly
+         every frame: 2500 bank rows <-> 936*sps output samples), with
+         the carried tpb-row bank history making blocks seamless
+      -> rolling stream buffer of (block_frames+1) tail + block_frames
+         new frames per carrier (one block of lookahead so every burst
+         window of the frames being processed is resident)
+  then per block, three batched demod phases over the buffer:
+    phase 1  ONE call demodulates + FEC-decodes the BCCH and CCCH
+             windows of every (carrier, frame) pair in the block
+    phase 2  ONE call runs the whole TCH3 slot path for carriers
+             with an assigned channel: window energy, DKAB, burst
+             type detect, FACCH *and* speech demod — everything
+             computed, winner selected host-side
+    phase 3  ONE call demodulates NT9 windows for TCH9 carriers
+  The per-carrier channel FSMs (gmr1_rx.c:356-600) then walk the
+  batched results on host: they are tiny and sequential, and the
+  host pays ~4 device round-trips per 0.32 s block.
+
+With `mesh=jax.sharding.Mesh(...)` the ingest step runs as one SPMD
+shard_map program (time-sharded analysis, carrier-sharded back-end) and
+the phase calls auto-partition over the carrier-sharded stream buffer —
+the multi-chip deployment form.  `mesh=None` is the single-chip form of
+the SAME program; both decode identical frames (tests/test_wideband.py).
 
 Differences from the per-carrier `Receiver` (both intentional):
-  * one FCCH beam per carrier (carriers are the parallel axis; the
-    reference's multi-beam scan serves single-carrier captures);
+  * one FCCH beam per carrier by default (`beams=1`); `beams=k` runs
+    the reference's multi-beam scan (gmr1_rx.c:643-741) batched over
+    every carrier and forks up to k beams per ARFCN;
   * closed-loop time/freq corrections from good BCCH bursts and SI1
     slot realignment apply at the NEXT block boundary rather than the
     next burst — at <= 8 frames (0.32 s) of latency the residuals stay
@@ -43,6 +61,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import native
 from ..channelizer import Channelizer
@@ -56,6 +75,8 @@ from . import gsmtap
 from .receiver import (ChanDesc, bcch_tdma_align, ccch_imm_ass_parse,
                        ccch_is_imm_ass, facch3_ass_cmd_1_parse,
                        facch3_is_ass_cmd_1)
+
+ROWS_PER_FRAME = 2500     # bank rows per TDMA frame: 936*62500/23400
 
 
 def _pow2(n: int) -> int:
@@ -128,16 +149,6 @@ def _phase_tch9(streams, idx_t, freqs, sps: int):
     return dict(ebits=r.ebits, sid=r.sync_id)
 
 
-def _resample_streams(rrc, bank, cols):
-    """Bank (R, M, 2) -> per-carrier RRC streams (C, floor(R*ratio), 2).
-
-    The ArbResampler is causal (taps look backward), so resampling a
-    row PREFIX yields a prefix of the full stream — acquisition and the
-    block loop see consistent sample indices."""
-    sub = jnp.moveaxis(bank[:, jnp.asarray(cols)], 1, 0)   # (C, R, 2)
-    return rrc(sub)
-
-
 # --------------------------------------------------------------------------
 # host-side per-carrier state
 # --------------------------------------------------------------------------
@@ -159,6 +170,9 @@ class WidebandReceiver:
     """Decode every carrier of a wideband capture (see module doc).
 
     `wb` is planar float32 (N, 2) or complex64 (N,) host samples.
+    `mesh`: optional jax.sharding.Mesh — runs the ingest step SPMD
+    (time-sharded analysis -> carrier-sharded streams).  n_chans must
+    divide by the mesh size.
     """
 
     def __init__(self, wb, samp_rate: float, center_freq: float,
@@ -167,7 +181,7 @@ class WidebandReceiver:
                  arfcns: list[int] | None = None, snr_min: float = 2.0,
                  block_frames: int = 8, fcch_type: fcch.FcchBurst = fcch.FCCH,
                  band: str = "L", uplink: bool = False,
-                 verbose: bool = False):
+                 verbose: bool = False, mesh=None, beams: int = 1):
         wb = np.asarray(wb)
         if wb.ndim == 1:         # complex -> planar
             wb = np.stack([wb.real, wb.imag], axis=-1)
@@ -178,16 +192,139 @@ class WidebandReceiver:
         self.block_frames = block_frames
         self.fcch_type = fcch_type
         self.verbose = verbose
+        self.beams = beams
         self.base_freq = _BASES[(band, uplink)]
 
         self.chz = Channelizer(samp_rate, center_freq, sps=sps)
-        self.bank = self.chz.process(wb.astype(np.float32))   # (R, M, 2)
-        self.rows = int(self.bank.shape[0])
         self.rrc = self.chz._rrc_resampler(1)
-        self.n_stream = int(np.floor(self.rows * self.rrc.ratio))
+        self.wb = self._prep_wb(wb.astype(np.float32))
+        self.rows_total = self.wb.shape[0] // self.chz.analyzer.hop
+        self.n_stream = int(np.floor(self.rows_total * self.rrc.ratio))
+        self.mesh = mesh
         self.arfcn_filter = arfcns
         self.carriers: list[_Carrier] = []
         self.frames: list[tuple[int, int, int, int, bytes]] = []
+        self._build_ingest()
+
+    def _prep_wb(self, wb: np.ndarray) -> np.ndarray:
+        """Grid pre-rotation + off-grid pre-resample (the reference's
+        pre_resamp path, utils/gmr1_rx_sdr.py:396-417) applied once at
+        ingest; the block loop then sees on-grid samples."""
+        chz = self.chz
+        if not chz.rotation and chz.pre_resamp is None:
+            return wb
+        x = jnp.asarray(wb)
+        if chz.rotation:
+            ph = cplx.expi(chz.rotation
+                           * jnp.arange(x.shape[0], dtype=jnp.float32))
+            x = cplx.mul(x, ph)
+        if chz.pre_resamp is not None:
+            x = chz.pre_resamp(x)
+        return np.asarray(x)
+
+    # --- streamed ingest -------------------------------------------------
+
+    def _build_ingest(self) -> None:
+        chz, F, sps = self.chz, self.block_frames, self.sps
+        ana = chz.analyzer
+        m, hop, p = chz.n_chans, ana.hop, ana.p
+        rrc = self.rrc
+        frame_out = 936 * sps
+        self.frame_out = frame_out
+        self.R_b = F * ROWS_PER_FRAME
+        self.S_b = F * frame_out
+        self.T_tail = (F + 1) * frame_out
+        self.T_buf = self.T_tail + self.S_b
+        self.n_block = self.R_b * hop
+        halo_len = p * m
+        H = rrc.tpb
+
+        # one static per-frame RRC window matrix: outputs [f*frame_out,
+        # (f+1)*frame_out) of the block from rows_full slice
+        # [k0 + f*ROWS_PER_FRAME, + k_span) — the geometry repeats
+        # exactly every frame (936*sps out samples per 2500 rows).
+        k_min1, W = rrc.window_matrix(frame_out, frame_out)
+        k0 = k_min1 - ROWS_PER_FRAME + H
+        assert k0 >= 0, (k_min1, H)
+        k_span = W.shape[1]
+        Wj = jnp.asarray(W)
+
+        def resample(rows_full):          # (Ml, H+R_b, 2) -> (Ml, S_b, 2)
+            xw = jnp.stack(
+                [jax.lax.slice_in_dim(rows_full, k0 + f * ROWS_PER_FRAME,
+                                      k0 + f * ROWS_PER_FRAME + k_span,
+                                      axis=1) for f in range(F)], axis=1)
+            s = jnp.einsum("nk,mfkp->mfnp", Wj, xw)
+            return s.reshape(s.shape[0], self.S_b, 2)
+
+        def tail_half(x_local, halo, stream, rows_full):
+            return (x_local[-halo_len:], rows_full[:, -H:],
+                    stream[:, -self.T_tail:])
+
+        if self.mesh is None:
+            def step(x_local, halo, bank_hist, stream_tail):
+                blk = jnp.concatenate([halo, x_local], axis=0)
+                bank = ana.block(blk)               # (R_b, M, 2)
+                rows = jnp.moveaxis(bank, 1, 0)     # (M, R_b, 2)
+                rows_full = jnp.concatenate([bank_hist, rows], axis=1)
+                stream = jnp.concatenate(
+                    [stream_tail, resample(rows_full)], axis=1)
+                return (stream,) + tail_half(x_local, halo, stream,
+                                             rows_full)
+            self._step = jax.jit(step)
+            self._state = (
+                jnp.zeros((halo_len, 2), jnp.float32),
+                jnp.zeros((m, H, 2), jnp.float32),
+                jnp.zeros((m, self.T_tail, 2), jnp.float32))
+            self._put = jnp.asarray
+            return
+
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        d = mesh.devices.size
+        assert m % d == 0, (m, d)
+        r_local = self.R_b // d
+        assert self.R_b % d == 0 and r_local % 2 == 0, (self.R_b, d)
+        self.ici_bytes_per_block = (
+            halo_len * 2 * 4 + 2 * r_local * m * 2 * 4 * (d - 1) // d)
+
+        def sstep(x_local, halo_c, bank_hist, stream_tail):
+            tail = x_local[-halo_len:]
+            recv = jax.lax.ppermute(
+                tail, axis, perm=[(i, (i + 1) % d) for i in range(d)])
+            dev = jax.lax.axis_index(axis)
+            halo = jnp.where(dev == 0, halo_c, recv)
+            blk = jnp.concatenate([halo, x_local], axis=0)
+            bank = ana.block(blk)                   # (R_local, M, 2)
+            bank_c = jax.lax.all_to_all(
+                bank, axis, split_axis=1, concat_axis=0, tiled=True)
+            rows = jnp.moveaxis(bank_c, 1, 0)       # (M/D, R_b, 2)
+            rows_full = jnp.concatenate([bank_hist, rows], axis=1)
+            stream = jnp.concatenate(
+                [stream_tail, resample(rows_full)], axis=1)
+            return stream, recv, rows_full[:, -H:], stream[:, -self.T_tail:]
+
+        self._step = jax.jit(jax.shard_map(
+            sstep, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis))))
+        self._state = (
+            jnp.zeros((d * halo_len, 2), jnp.float32),
+            jnp.zeros((m, H, 2), jnp.float32),
+            jnp.zeros((m, self.T_tail, 2), jnp.float32))
+        sh = NamedSharding(mesh, P(axis))
+        self._put = lambda x: jax.device_put(jnp.asarray(x), sh)
+
+    def _ingest_block(self, b: int) -> None:
+        """Run the ingest step for block b; sets self.streams (M, T_buf,
+        2) and self._buf0 (absolute output sample of buffer index 0)."""
+        x = self.wb[b * self.n_block:(b + 1) * self.n_block]
+        if x.shape[0] < self.n_block:
+            x = np.concatenate(
+                [x, np.zeros((self.n_block - x.shape[0], 2), np.float32)])
+        out = self._step(self._put(x), *self._state)
+        self.streams, self._state = out[0], out[1:]
+        self._buf0 = b * self.S_b - self.T_tail
 
     # --- helpers -----------------------------------------------------
 
@@ -216,55 +353,77 @@ class WidebandReceiver:
 
     def acquire(self) -> list[_Carrier]:
         """Batched FCCH scan over every grid channel (fcch_single_init
-        of gmr1_rx.c:605 vectorized across the whole transponder)."""
+        of gmr1_rx.c:605 vectorized across the whole transponder), with
+        optional multi-beam forking (`beams` > 1, gmr1_rx.c:643-741).
+
+        Runs once on an analysis of the capture PREFIX (the 330 ms
+        primary scan + a 650 ms multi-beam window when beams > 1);
+        the block loop then streams from sample 0."""
         sps, ft = self.sps, self.fcch_type
         blen = ft.len_syms * sps
         n330 = (330 * SYM_RATE * sps) // 1000
-        acq_len = min(n330 + 2 * blen, self.n_stream)
+        n650 = (650 * SYM_RATE * sps) // 1000
+        scan = n330 if self.beams <= 1 else n650
+        acq_len = min(scan + 2 * blen, self.n_stream)
         if acq_len < n330 + blen:
             raise ValueError("capture shorter than the 330 ms FCCH scan")
 
         m = self.chz.n_chans
         rows_acq = min(int(np.ceil(acq_len / self.rrc.ratio))
-                       + self.rrc.tpb + 2, self.rows)
-        cols = np.arange(m, dtype=np.int32)
-        streams = _resample_streams(self.rrc, self.bank[:rows_acq], cols)
+                       + self.rrc.tpb + 2, self.rows_total)
+        bank = self.chz.process(self.wb[:rows_acq * self.chz.analyzer.hop])
+        streams = self.rrc(jnp.moveaxis(bank, 1, 0))
         acq_len = min(acq_len, int(streams.shape[1]))
 
-        toa_r = fcch.rough(ft, streams[:, :n330 + blen], sps)
-        toa_r = jnp.clip(toa_r, 0, acq_len - 2 * blen)
-        w_fine = _windows(streams, toa_r[:, None], blen)[:, 0]
+        if self.beams <= 1:
+            toa_r = np.asarray(
+                fcch.rough(ft, streams[:, :n330 + blen], sps))[:, None]
+            valid = np.ones_like(toa_r, bool)
+        else:
+            toa_r, valid = fcch.rough_multi_batch(
+                ft, streams[:, :min(n650 + blen, acq_len)], sps,
+                k=self.beams)                       # (M, beams)
+        toa_r = jnp.asarray(
+            np.clip(toa_r, 0, acq_len - 2 * blen).astype(np.int32))
+        w_fine = _windows(streams, toa_r, blen)     # (M, beams, blen, 2)
         toa_f, ferr = fcch.fine(ft, w_fine, sps)
         toa = jnp.clip(toa_r + toa_f, 0, acq_len - blen - 1)
-        w_snr = _windows(streams, toa[:, None], blen)[:, 0]
+        w_snr = _windows(streams, toa, blen)
         snr = fcch.snr(ft, w_snr, sps, -ferr)
 
         toa, ferr, snr = jax.device_get((toa, ferr, snr))
+        snr = np.where(valid, snr, np.nan)
         self.carriers = []
         for col in range(m):
             arfcn = self._col2arfcn(col)
             if self.arfcn_filter is not None \
                and arfcn not in self.arfcn_filter:
                 continue
-            if not np.isfinite(snr[col]) or snr[col] < self.snr_min:
-                continue
-            cd = ChanDesc(sps=sps)
-            cd.align = int(toa[col])
-            cd.freq_err = float(ferr[col])
-            self.carriers.append(_Carrier(col=col, arfcn=arfcn, cd=cd,
-                                          snr=float(snr[col])))
-            self._log(f"[+] ARFCN {arfcn} FCCH @{cd.align} "
-                      f"snr={float(snr[col]):.1f} "
-                      f"freq={cd.freq_err * SYM_RATE / 2 / np.pi:.1f} Hz")
+            finite = np.isfinite(snr[col])
+            ref = int(np.nanargmax(snr[col])) if finite.any() else 0
+            ref_snr = float(snr[col, ref]) if finite.any() else 0.0
+            for k in range(toa.shape[1]):
+                s = float(snr[col, k])
+                if not np.isfinite(s) or s < self.snr_min:
+                    continue
+                # multi-beam gates vs the strongest beam on this ARFCN
+                # (gmr1_rx.c:706-714): snr >= ref/6, |df| < 500 Hz
+                if self.beams > 1:
+                    if s < ref_snr / 6.0:
+                        continue
+                    dhz = abs(float(ferr[col, k]) - float(ferr[col, ref])) \
+                        * SYM_RATE / (2 * np.pi)
+                    if k != ref and dhz > 500.0:
+                        continue
+                cd = ChanDesc(sps=sps)
+                cd.align = int(toa[col, k])
+                cd.freq_err = float(ferr[col, k])
+                self.carriers.append(_Carrier(col=col, arfcn=arfcn,
+                                              cd=cd, snr=s))
+                self._log(f"[+] ARFCN {arfcn} FCCH @{cd.align} "
+                          f"snr={s:.1f} "
+                          f"freq={cd.freq_err * SYM_RATE / 2 / np.pi:.1f} Hz")
         return self.carriers
-
-    def _make_streams(self) -> None:
-        """Resample every active carrier's full stream once, on device."""
-        cols = np.asarray([c.col for c in self.carriers], np.int32)
-        pad = _pow2(len(cols))
-        cols = np.pad(cols, (0, pad - len(cols)), mode="edge")
-        self.streams = _resample_streams(self.rrc, self.bank, cols)
-        self._stream_row = {c.col: i for i, c in enumerate(self.carriers)}
 
     # --- block engine ---------------------------------------------------
 
@@ -274,35 +433,44 @@ class WidebandReceiver:
         sirfn = (fns - car.cd.sa_sirfn_delay) & 63
         return (sirfn % 8 == 2), ~np.isin(sirfn % 8, (0, 2))
 
+    def _ready(self, car: _Carrier) -> bool:
+        """Carrier's next F frames fully resident in the buffer?"""
+        a = car.cd.align - self._buf0
+        return 64 <= a <= self.T_buf - (self.block_frames + 2) \
+            * self.frame_out
+
     def _process_block(self, active: list[_Carrier]) -> None:
         sps = self.sps
         F = self.block_frames
-        frame_len = sps * 24 * 39
+        frame_len = self.frame_out
+        buf0 = self._buf0
         C = _pow2(len(active))
-        rows = [self._stream_row[c.col] for c in active]
+        rows = [c.col for c in active]
         rows += [rows[0]] * (C - len(active))
         rows = np.asarray(rows, np.int32)
 
-        def mk_idx(slot_of, win):
+        def mk_idx(cars, slot_of, win):
             e_toa = win >> 1
-            idx = np.zeros((C, F), np.int64)
-            for i, car in enumerate(active):
-                idx[i] = (car.cd.align + sps * slot_of(car) * 39 - e_toa
-                          + np.arange(F) * frame_len)
-            idx[len(active):] = idx[0]
+            idx = np.zeros((len(cars), F), np.int64)
+            for i, car in enumerate(cars):
+                idx[i] = (car.cd.align - buf0 + sps * slot_of(car) * 39
+                          - e_toa + np.arange(F) * frame_len)
             return idx
 
+        def pad_idx(idx, n, wlen):
+            hi = self.T_buf - wlen - 1
+            idx = np.concatenate([idx, np.tile(idx[:1], (n - len(idx), 1))])
+            return jnp.asarray(np.clip(idx, 0, hi).astype(np.int32))
+
         # ---- phase 1: control channels --------------------------------
-        idx_b = mk_idx(lambda c: c.cd.sa_bcch_stn, 20 * sps)
-        idx_c = mk_idx(lambda c: c.cd.sa_bcch_stn, 10 * sps)
-        hi_b = self.n_stream - (BU.BCCH.len_syms * sps + 20 * sps) - 1
-        hi_c = self.n_stream - (BU.DC6.len_syms * sps + 10 * sps) - 1
+        idx_b = mk_idx(active, lambda c: c.cd.sa_bcch_stn, 20 * sps)
+        idx_c = mk_idx(active, lambda c: c.cd.sa_bcch_stn, 10 * sps)
         freqs = np.asarray([c.cd.freq_err for c in active]
                            + [0.0] * (C - len(active)), np.float32)
         st = self.streams[rows]
         ctrl = jax.device_get(_phase_ctrl(
-            st, jnp.asarray(np.clip(idx_b, 0, hi_b).astype(np.int32)),
-            jnp.asarray(np.clip(idx_c, 0, hi_c).astype(np.int32)),
+            st, pad_idx(idx_b, C, BU.BCCH.len_syms * sps + 20 * sps),
+            pad_idx(idx_c, C, BU.DC6.len_syms * sps + 10 * sps),
             jnp.asarray(freqs), sps))
 
         # ---- host FSM pass 1: BCCH/CCCH + TCH3/TCH9 activation --------
@@ -362,22 +530,18 @@ class WidebandReceiver:
         facch_jobs, speech_jobs = [], []
         if tch3_set:
             C3 = _pow2(len(tch3_set))
-            rows3 = [self._stream_row[c.col] for c in tch3_set]
+            rows3 = [c.col for c in tch3_set]
             rows3 += [rows3[0]] * (C3 - len(tch3_set))
             w = sps + sps // 2
-            hi_t = self.n_stream - (BU.NT3_FACCH.len_syms * sps + w) - 1
-            idx_t = np.zeros((C3, F), np.int64)
+            idx_t = mk_idx(tch3_set, lambda c: c.cd.tch3.tn, w)
             p3 = np.zeros(C3, np.int32)
             fr3 = np.zeros(C3, np.float32)
             for i, car in enumerate(tch3_set):
-                idx_t[i] = (car.cd.align + sps * car.cd.tch3.tn * 39
-                            - (w >> 1) + np.arange(F) * frame_len)
                 p3[i] = car.cd.tch3.p
                 fr3[i] = car.cd.freq_err
-            idx_t[len(tch3_set):] = idx_t[0]
             t3 = jax.device_get(_phase_tch3(
                 self.streams[np.asarray(rows3, np.int32)],
-                jnp.asarray(np.clip(idx_t, 0, hi_t).astype(np.int32)),
+                pad_idx(idx_t, C3, BU.NT3_FACCH.len_syms * sps + w),
                 jnp.asarray(p3), jnp.asarray(fr3), sps))
             facch_jobs, speech_jobs = self._walk_tch3(
                 tch3_set, tch3_from, t3, F)
@@ -398,7 +562,7 @@ class WidebandReceiver:
         # ---- advance block ----------------------------------------------
         # one frame of slot offset + the largest burst window fits in
         # two extra frame lengths, so stop when the NEXT block would
-        # need samples past that bound (mirrors gmr1_rx.c:893-894)
+        # need samples past the capture end (mirrors gmr1_rx.c:893-894)
         for car in active:
             cd = car.cd
             d_align, d_freq = cd._pending
@@ -521,17 +685,18 @@ class WidebandReceiver:
     def _process_tch9(self, tch9_set, F: int, frame_len: int) -> None:
         sps = self.sps
         C9 = _pow2(len(tch9_set))
-        rows9 = [self._stream_row[c.col] for c in tch9_set]
+        rows9 = [c.col for c in tch9_set]
         rows9 += [rows9[0]] * (C9 - len(tch9_set))
         w = sps + sps // 2
-        hi = self.n_stream - (BU.NT9.len_syms * sps + w) - 1
         idx = np.zeros((C9, F), np.int64)
         fr9 = np.zeros(C9, np.float32)
+        buf0 = self._buf0
         for i, car in enumerate(tch9_set):
-            idx[i] = (car.cd.align + sps * car.cd.tch9.tn * 39 - (w >> 1)
-                      + np.arange(F) * frame_len)
+            idx[i] = (car.cd.align - buf0 + sps * car.cd.tch9.tn * 39
+                      - (w >> 1) + np.arange(F) * frame_len)
             fr9[i] = car.cd.freq_err
         idx[len(tch9_set):] = idx[0]
+        hi = self.T_buf - (BU.NT9.len_syms * sps + w) - 1
         t9 = jax.device_get(_phase_tch9(
             self.streams[np.asarray(rows9, np.int32)],
             jnp.asarray(np.clip(idx, 0, hi).astype(np.int32)),
@@ -580,10 +745,18 @@ class WidebandReceiver:
         if not self.carriers:
             self._log("[!] no FCCH found on any carrier")
             return 0
-        self._make_streams()
-        while True:
-            active = [c for c in self.carriers if not c.done]
-            if not active:
+        n_blocks = (self.rows_total + self.R_b - 1) // self.R_b
+        # carriers lag the ingest frontier by up to T_tail + their
+        # initial align, so after the capture's own blocks keep
+        # draining with zero-input blocks until every carrier hits its
+        # done bound (align + (F+2) frames > n_stream)
+        drain = self.T_tail // self.S_b + 3
+        for b in range(n_blocks + drain):
+            if all(c.done for c in self.carriers):
                 break
-            self._process_block(active)
+            self._ingest_block(b)
+            active = [c for c in self.carriers
+                      if not c.done and self._ready(c)]
+            if active:
+                self._process_block(active)
         return len(self.frames)

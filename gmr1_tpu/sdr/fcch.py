@@ -178,42 +178,22 @@ def _rough_multi_device(burst: FcchBurst, x, sps: int, freq_shift):
     return mixed, avg + 3.0 * std, n_lp, lp_ok
 
 
-def rough_multi(burst: FcchBurst, x, sps: int, freq_shift=0.0,
-                n: int = 16) -> list[int]:
-    """Multi-FCCH rough acquisition (gmr1_fcch_rough_multi, fcch.c:342).
-
-    x: planar (N, 2) with N >= 650 ms of signal.  Returns up to n TOAs
-    (input samples), strongest first.  Device does the O(N*L)
-    correlation + mixing; the O(#candidates) rising-edge scan and
-    Lp-window dedup run on host (they are sequential and tiny).
-    """
-    x = np.asarray(x)
-    if x.shape[0] < (650 * SYM_RATE * sps) // 1000:
-        raise ValueError("need >= 650 ms of signal")
-    mixed, th, n_lp, lp_ok = jax.device_get(
-        _rough_multi_device(burst, jnp.asarray(x), sps,
-                            jnp.asarray(freq_shift, jnp.float32)))
-    if not lp_ok:
-        raise ValueError(f"SI periodicity mismatch (nLp={int(n_lp)})")
-    lp = int(n_lp)
-
-    # rising-edge peak scan (fcch.c:457-483)
-    cands: list[tuple[int, float]] = []
+def _edge_candidates(mixed: np.ndarray, th: float, sps: int):
+    """Rising-edge peak scan (fcch.c:457-483), numpy-vectorized.
+    Returns [(toa_in_samples, power), ...]."""
     above = mixed > th
-    in_peak = False
-    for i in range(1, mixed.shape[0] - 1):
-        if above[i]:
-            if in_peak:
-                continue
-            in_peak = True
-            p_pwr = float(mixed[i - 1] + mixed[i] + mixed[i + 1])
-            p_fpos = float(-mixed[i - 1] + mixed[i + 1]) / p_pwr
-            cands.append((int(round((i + p_fpos) * sps)), p_pwr))
-        else:
-            in_peak = False
+    above[0] = above[-1] = False
+    rise = np.flatnonzero(above & ~np.roll(above, 1))
+    out = []
+    for i in rise:
+        p_pwr = float(mixed[i - 1] + mixed[i] + mixed[i + 1])
+        p_fpos = float(-mixed[i - 1] + mixed[i + 1]) / p_pwr
+        out.append((int(round((i + p_fpos) * sps)), p_pwr))
+    return out
 
-    # power-ordered insert with Lp-wrapped dedup (fcch.c:264-326)
-    half = (burst.len_syms * sps) >> 1
+
+def _dedup_insert(cands, lp: int, half: int, n: int) -> list[int]:
+    """Power-ordered insert with Lp-wrapped dedup (fcch.c:264-326)."""
     toas: list[int] = []
     pwrs: list[float] = []
     for p_pos, p_pwr in cands:
@@ -235,3 +215,49 @@ def rough_multi(burst: FcchBurst, x, sps: int, freq_shift=0.0,
             pwrs.insert(k, p_pwr)
             del toas[n:], pwrs[n:]
     return toas
+
+
+def rough_multi(burst: FcchBurst, x, sps: int, freq_shift=0.0,
+                n: int = 16) -> list[int]:
+    """Multi-FCCH rough acquisition (gmr1_fcch_rough_multi, fcch.c:342).
+
+    x: planar (N, 2) with N >= 650 ms of signal.  Returns up to n TOAs
+    (input samples), strongest first.  Device does the O(N*L)
+    correlation + mixing; the O(#candidates) rising-edge scan and
+    Lp-window dedup run on host (they are sequential and tiny).
+    """
+    x = np.asarray(x)
+    if x.shape[0] < (650 * SYM_RATE * sps) // 1000:
+        raise ValueError("need >= 650 ms of signal")
+    mixed, th, n_lp, lp_ok = jax.device_get(
+        _rough_multi_device(burst, jnp.asarray(x), sps,
+                            jnp.asarray(freq_shift, jnp.float32)))
+    if not lp_ok:
+        raise ValueError(f"SI periodicity mismatch (nLp={int(n_lp)})")
+    half = (burst.len_syms * sps) >> 1
+    return _dedup_insert(_edge_candidates(mixed, th, sps),
+                         int(n_lp), half, n)
+
+
+def rough_multi_batch(burst: FcchBurst, x, sps: int, k: int = 4,
+                      freq_shift=0.0):
+    """Batched multi-beam rough acquisition over carriers.
+
+    x: planar (M, N, 2), N >= 650 ms + burst.  Returns (toas (M, k)
+    int64, valid (M, k) bool), strongest beam first per carrier.
+    Carriers with no SI periodicity (noise channels) get no beams.
+    """
+    x = jnp.asarray(x)
+    m = x.shape[0]
+    fs = jnp.broadcast_to(jnp.asarray(freq_shift, jnp.float32), (m,))
+    mixed, th, n_lp, lp_ok = jax.device_get(jax.vmap(
+        lambda xx, ff: _rough_multi_device(burst, xx, sps, ff))(x, fs))
+    half = (burst.len_syms * sps) >> 1
+    toas = np.full((m, k), -1, np.int64)
+    for c in range(m):
+        if not lp_ok[c]:
+            continue
+        got = _dedup_insert(_edge_candidates(mixed[c], float(th[c]), sps),
+                            int(n_lp[c]), half, k)
+        toas[c, :len(got)] = got
+    return toas, toas >= 0

@@ -62,14 +62,16 @@ class Capture:
         self.buf.astype(np.complex64).tofile(path)
 
 
-def si1_l2(rng, fn):
-    """SI1 frame w/ Seg2Abis encoding the given BCCH fn (delay=0, stn=0)."""
-    assert fn % 8 == 2
+def si1_l2(rng, fn, delay=0):
+    """SI1 frame w/ Seg2Abis encoding the given BCCH fn (stn=0).
+    `delay` = sa_sirfn_delay; a BCCH frame satisfies
+    fn % 8 == (2 + delay) % 8 (gmr1_rx.c:194-233)."""
+    assert fn % 8 == (2 + delay) % 8
     l2 = rng.integers(0, 256, 24, dtype=np.uint8)
     sf, mf, hb = fn >> 6, (fn >> 4) & 3, (fn >> 3) & 1
     l2[0] = 0x08
     l2[9] = 0x80
-    l2[10] = 0  # delay=0, stn top bits 0
+    l2[10] = (delay & 0x0F) << 3   # stn top bits 0
     l2[11] = sf >> 7
     l2[12] = ((sf & 0x7F) << 1) | (mf >> 1)
     l2[13] = ((mf & 1) << 7) | (hb << 6)

@@ -125,7 +125,7 @@ def wb_e2e():
     rx = WidebandReceiver(wb, FS, CENTER, sps=SPS, verbose=False)
     rx.run()
     return rx, si1, speech_frames, bytes(fl2), bytes(f9l2), [
-        bytes(bytearray(c)) for c in csd_payloads], tn, tn9
+        bytes(bytearray(c)) for c in csd_payloads], tn, tn9, wb
 
 
 def _car(rx, arfcn):
@@ -171,7 +171,7 @@ def test_tch3_speech(wb_e2e):
 
 
 def test_facch3_and_dkab(wb_e2e):
-    rx, _, _, fl2, *_ , tn, _tn9 = wb_e2e
+    rx, _, _, fl2, *_ , tn, _tn9, _wb = wb_e2e
     car = _car(rx, A_FULL)
     fa = [l2 for t, fn, tn_, l2 in car.frames
           if t == (gt.GMR1_TCH3 | gt.GMR1_FACCH)]
@@ -191,7 +191,7 @@ def test_tch3_teardown(wb_e2e):
 
 
 def test_tch9_facch9_and_csd(wb_e2e):
-    rx, _, _, _, f9l2, csd_payloads, _tn, tn9 = wb_e2e
+    rx, _, _, _, f9l2, csd_payloads, _tn, tn9, _wb = wb_e2e
     car = _car(rx, A_FULL)
     f9 = [l2 for t, fn, tn_, l2 in car.frames
           if t == (gt.GMR1_TCH9 | gt.GMR1_FACCH)]
@@ -206,3 +206,59 @@ def test_frames_tagged_with_arfcn(wb_e2e):
     rx, *_ = wb_e2e
     arfcns = {a for a, *_ in rx.frames}
     assert {A_BCCH, A_FULL, A_AUX} <= arfcns
+
+
+def test_sharded_streaming_identical_frames(wb_e2e):
+    """The SAME scenario through the 8-device SPMD pipeline (time-
+    sharded analysis, all_to_all reshard, carrier-sharded streams)
+    decodes identical L2 frames, speech and CSD — the unified
+    application/multi-chip form (SURVEY.md §5.8)."""
+    import jax
+    from jax.sharding import Mesh
+
+    rx, *_, wb = wb_e2e
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dev",))
+    rx2 = WidebandReceiver(wb, FS, CENTER, sps=SPS, mesh=mesh)
+    rx2.run()
+    assert rx2.frames == rx.frames
+    for c1 in rx.carriers:
+        c2 = _car(rx2, c1.arfcn)
+        assert c2.speech == c1.speech and c2.csd == c1.csd
+
+
+def test_multibeam_two_beams_one_arfcn(wb_e2e):
+    """Two spot beams on one ARFCN (two FCCHs 11 frames apart on the
+    same carrier) both acquire with beams=2 and both decode their own
+    BCCH (gmr1_rx.c:643-741 batched).  Uses a dedicated small capture."""
+    rng = np.random.default_rng(0xBEA2)
+    n_frames = 44
+    cap = Capture(rng, n_frames=n_frames, noise=0.005)
+    chirp = cplx.to_complex(
+        fcch._chirp_np(fcch.FCCH, SPS, "dual")) / np.sqrt(2)
+    # beam A: FCCH frames 0,8,...; beam B 3 frames later (both trains
+    # inside every 320 ms SI cycle), with sa_sirfn_delay=3 so beam B's
+    # BCCH schedule (fn%8 == 5) is self-consistent
+    si1s = {}
+    for k in (0, 8, 16, 24, 32):
+        cap.place_raw(k, 0, chirp)
+    for k in (3, 11, 19, 27, 35):
+        cap.place_raw(k, 0, chirp)
+    for k in (2, 10, 18, 26, 34):
+        l2 = si1_l2(rng, F0 + k)
+        si1s[F0 + k] = l2
+        cap.place_syms(k, 0, np.asarray(modem.mod(BU.BCCH, bcch.encode(l2))))
+    for k in (5, 13, 21, 29, 37):
+        l2 = si1_l2(rng, F0 + k, delay=3)
+        si1s[F0 + k] = l2
+        cap.place_syms(k, 0, np.asarray(modem.mod(BU.BCCH, bcch.encode(l2))))
+    wb2 = mix_wideband({A_FULL: cap.buf}, rng)
+    rx = WidebandReceiver(wb2, FS, CENTER, sps=SPS, beams=2,
+                          arfcns=[A_FULL])
+    rx.run()
+    beams = [c for c in rx.carriers if c.arfcn == A_FULL]
+    assert len(beams) == 2, [c.cd.align for c in rx.carriers]
+    for car in beams:
+        got = {fn: l2 for t, fn, tn_, l2 in car.frames if t == gt.GMR1_BCCH}
+        assert len(got) >= 3, sorted(got)
+        for fn, l2 in got.items():
+            assert fn in si1s and l2 == bytes(bytearray(si1s[fn]))
