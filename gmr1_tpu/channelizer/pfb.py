@@ -291,6 +291,26 @@ class ArbResampler:
                   br[p2] * frac[:, None])
         return k_min, w
 
+    def block_gather(self, n_out: int, hist: int):
+        """Static gather geometry for STREAMED resampling: outputs
+        [0, n_out) of every block, where the block's first input sample
+        sits at index `hist` of rows_full = [carried history | new
+        block].  Valid only when the resampling phase is block-periodic
+        (n_out * l / ratio is an integral multiple of l), so one
+        geometry serves every block.  Feed to resample_window."""
+        up_end = n_out * self.l / self.ratio
+        assert abs(up_end - round(up_end)) < 1e-6 \
+            and round(up_end) % self.l == 0, (n_out, self.ratio)
+        n = np.arange(n_out, dtype=np.float64)
+        up = n * self.l / self.ratio
+        ip = np.floor(up).astype(np.int64)
+        frac = (up - ip).astype(np.float32)
+        k1, p1 = ip // self.l + hist, ip % self.l
+        k2, p2 = (ip + 1) // self.l + hist, (ip + 1) % self.l
+        assert k1.min() - self.tpb + 1 >= 0, (hist, self.tpb)
+        return (k1.astype(np.int32), p1.astype(np.int32),
+                k2.astype(np.int32), p2.astype(np.int32), frac)
+
     def resample_window(self, xw, k1r, p1, k2r, p2, frac):
         """Resample a pre-sliced window (..., k_span, 2) using static
         geometry from window_geometry (all indices host numpy)."""
@@ -405,6 +425,12 @@ class Channelizer:
             self._resamplers[key] = ArbResampler(ratio)
         return self._resamplers[key]
 
+    def wide_streamer(self, ch: Channel, block_rows: int) -> "WideStreamer":
+        """Streamed form of extract() for a wide carrier: feed bank-row
+        blocks, get stream chunks that concatenate to exactly the
+        offline extract output."""
+        return WideStreamer(self, ch, block_rows)
+
     def extract(self, chans: jax.Array, ch: Channel) -> np.ndarray | None:
         """Channel bank -> one carrier's planar stream at sps*sym_rate."""
         if ch.width == 1:
@@ -424,9 +450,90 @@ class Channelizer:
                 return None
             s = up(chans[:, idx])
             df = sub.frequency - ch.frequency
-            ph = cplx.expi((2.0 * np.pi * df / out_rate)
-                           * jnp.arange(s.shape[0], dtype=jnp.float32))
+            # exact wrapped phase: df and out_rate are integer Hz, so
+            # the phasor repeats every period samples — index mod keeps
+            # the f32 phase argument small over long captures
+            period = _phase_period(df, out_rate)
+            ph = cplx.expi(
+                (2.0 * np.pi * df / out_rate)
+                * (jnp.arange(s.shape[0]) % period).astype(jnp.float32))
             s = cplx.mul(s, ph)
             acc = s if acc is None else acc + s
         rrc = self._rrc_resampler(ch.width)
         return rrc(acc)
+
+
+def _phase_period(df: float, out_rate: float) -> int:
+    """Sample period after which 2*pi*df*n/out_rate wraps an integer
+    number of turns (df, out_rate integer Hz)."""
+    return int(out_rate) // np.gcd(int(abs(df)) or 1, int(out_rate))
+
+
+class WideStreamer:
+    """Streamed wide-carrier synthesizer (the block form of
+    Channelizer.extract for width > 1, utils/gmr1_rx_sdr.py:566-589).
+
+    Per block of bank rows: per-subchannel fractional resample to the
+    output rate (static block-periodic gather geometry), rotate each
+    subchannel to its offset with phase carried across blocks, sum, and
+    RRC-filter (the width-RRC at ratio 1 is a plain FIR).  All state —
+    subchannel resampler history, FIR history, rotation phase — is
+    carried, so chunks concatenate to exactly the offline extract
+    output (parity-tested in tests/test_channelizer.py)."""
+
+    def __init__(self, chz: Channelizer, ch: Channel, block_rows: int):
+        assert ch.width > 1
+        self.ch = ch
+        cols = [chz.freq2index(sub.frequency) for sub in ch.subchannels]
+        assert all(c is not None for c in cols), (ch, cols)
+        self.cols = np.asarray(cols, np.int32)
+        w = ch.width
+        up = chz._sub_resampler(w)
+        rrc = chz._rrc_resampler(w)
+        out_rate = BASE_SYMRATE * w * chz.sps
+        n_out = block_rows * up.ratio
+        self.n_out = int(round(n_out))
+        assert abs(self.n_out - n_out) < 1e-6, (block_rows, up.ratio)
+        geom = up.block_gather(self.n_out, up.tpb)
+        self.h_up = up.tpb
+        dfs = np.asarray([sub.frequency - ch.frequency
+                          for sub in ch.subchannels], np.float64)
+        dphi = (2.0 * np.pi * dfs / out_rate).astype(np.float32)
+        periods = np.asarray([_phase_period(df, out_rate) for df in dfs],
+                             np.int64)
+        fir = np.asarray(rrc.branches[0], np.float32)
+        t_fir = len(fir)
+        nw = len(cols)
+
+        def step(rows_w, hist_up, hist_fir, n0):
+            rows_full = jnp.concatenate([hist_up, rows_w], axis=1)
+            s = up.resample_window(rows_full, *geom)      # (W, n_out, 2)
+            # exact wrapped rotation (see _phase_period): index mod per
+            # subchannel keeps the f32 phase argument small forever
+            idx = (n0[:, None] + jnp.arange(self.n_out)) \
+                % jnp.asarray(periods)[:, None]
+            ph = jnp.asarray(dphi)[:, None] * idx.astype(jnp.float32)
+            acc = jnp.sum(cplx.mul(s, cplx.expi(ph)), axis=0)
+            xf = jnp.concatenate([hist_fir, acc], axis=0)
+            y = jnp.zeros((self.n_out, 2), jnp.float32)
+            for i in range(t_fir):                         # ratio-1 FIR
+                y = y + fir[i] * jax.lax.slice_in_dim(
+                    xf, t_fir - i, t_fir - i + self.n_out, axis=0)
+            return y, rows_full[:, -self.h_up:], xf[-t_fir:]
+
+        self._step = jax.jit(step)
+        self._periods = periods
+        self._state = (jnp.zeros((nw, self.h_up, 2), jnp.float32),
+                       jnp.zeros((t_fir, 2), jnp.float32),
+                       np.zeros(nw, np.int64))
+
+    def feed(self, bank_rows) -> np.ndarray:
+        """bank_rows: carrier-major block rows (M, R_b, 2).  Returns the
+        wide stream chunk (n_out, 2) as host numpy."""
+        hist_up, hist_fir, n0 = self._state
+        rows_w = bank_rows[jnp.asarray(self.cols)]
+        y, hist_up, hist_fir = self._step(rows_w, hist_up, hist_fir,
+                                          jnp.asarray(n0))
+        self._state = (hist_up, hist_fir,
+                       (n0 + self.n_out) % self._periods)
+        return np.asarray(y)

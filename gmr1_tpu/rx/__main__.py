@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import sys
 
+from ..channelizer import Channel
 from ..sdr import fcch
 from . import CFile, GsmtapSink, Receiver
 
@@ -43,6 +44,8 @@ def main(argv=None) -> int:
                     help="FCCH SNR gate for carrier activation")
     ap.add_argument("--beams", type=int, default=1,
                     help="FCCH beams per carrier (multi-beam scan)")
+    ap.add_argument("--wide", action="append", default=[],
+                    help="wide carrier spec like 500x3 (repeatable)")
     ap.add_argument("--key", dest="key_opt", help="A5 key (16 hex digits)")
     ap.add_argument("--sps", dest="sps_opt", type=int, default=4)
     ap.add_argument("--pcap", help="write GSMTap stream to a pcap file")
@@ -78,12 +81,14 @@ def main(argv=None) -> int:
             CFile(args.wideband).data, args.fs, args.center,
             sps=args.sps_opt, kc=kc, sink=sink, arfcns=arfcns,
             snr_min=args.snr_min, fcch_type=ft, verbose=args.verbose,
-            beams=args.beams)
+            beams=args.beams,
+            wide_channels=[Channel.parse(s) for s in args.wide])
         n = rx.run()
-        per = ", ".join(f"{c.arfcn}:{len(c.frames)}" for c in rx.carriers
+        cars = rx.carriers + rx.wide_carriers
+        per = ", ".join(f"{c.arfcn}:{len(c.frames)}" for c in cars
                         if c.frames)
         print(f"[+] {n} L2 frames decoded across "
-              f"{len(rx.carriers)} carriers ({per})", file=sys.stderr)
+              f"{len(cars)} carriers ({per})", file=sys.stderr)
         sink.close()
         return 0
 

@@ -11,15 +11,13 @@ from __future__ import annotations
 import numpy as np
 
 
-class CFile:
-    """mmap'd capture: planar float32 (n_samples, 2) view."""
+class ArrayStream:
+    """CFile-compatible view over an in-memory planar (N, 2) stream —
+    lets the Receiver run over channelizer output without a file."""
 
-    def __init__(self, path: str):
-        self.path = path
-        raw = np.memmap(path, dtype=np.float32, mode="r")
-        if raw.size % 2:
-            raw = raw[:-1]
-        self.data = raw.reshape(-1, 2)
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data, np.float32)
+        assert self.data.ndim == 2 and self.data.shape[1] == 2
 
     def __len__(self) -> int:
         return self.data.shape[0]
@@ -29,6 +27,17 @@ class CFile:
         if begin < 0 or begin + length > len(self):
             return None
         return self.data[begin:begin + length]
+
+
+class CFile(ArrayStream):
+    """mmap'd capture: planar float32 (n_samples, 2) view."""
+
+    def __init__(self, path: str):
+        self.path = path
+        raw = np.memmap(path, dtype=np.float32, mode="r")
+        if raw.size % 2:
+            raw = raw[:-1]
+        self.data = raw.reshape(-1, 2)
 
 
 def load(path: str) -> CFile:

@@ -181,7 +181,8 @@ class WidebandReceiver:
                  arfcns: list[int] | None = None, snr_min: float = 2.0,
                  block_frames: int = 8, fcch_type: fcch.FcchBurst = fcch.FCCH,
                  band: str = "L", uplink: bool = False,
-                 verbose: bool = False, mesh=None, beams: int = 1):
+                 verbose: bool = False, mesh=None, beams: int = 1,
+                 wide_channels=None):
         wb = np.asarray(wb)
         if wb.ndim == 1:         # complex -> planar
             wb = np.stack([wb.real, wb.imag], axis=-1)
@@ -194,8 +195,14 @@ class WidebandReceiver:
         self.verbose = verbose
         self.beams = beams
         self.base_freq = _BASES[(band, uplink)]
+        # wide carriers (width 2/3/5) are explicit config, as in the
+        # reference channelizer CLI (utils/gmr1_rx_sdr.py:216-339): each
+        # gets a streamed synthesizer chain and its own per-carrier
+        # Receiver over the recombined stream (run after the block loop)
+        self.wide_channels = list(wide_channels or [])
 
-        self.chz = Channelizer(samp_rate, center_freq, sps=sps)
+        self.chz = Channelizer(samp_rate, center_freq, sps=sps,
+                               need_nx=bool(self.wide_channels))
         self.rrc = self.chz._rrc_resampler(1)
         self.wb = self._prep_wb(wb.astype(np.float32))
         self.rows_total = self.wb.shape[0] // self.chz.analyzer.hop
@@ -261,6 +268,13 @@ class WidebandReceiver:
             return (x_local[-halo_len:], rows_full[:, -H:],
                     stream[:, -self.T_tail:])
 
+        # wide-carrier streamed synthesizers consume the block's bank
+        # rows; only return them from the step when configured
+        self._wide = [self.chz.wide_streamer(ch, self.R_b)
+                      for ch in self.wide_channels]
+        self._wide_chunks = [[] for _ in self._wide]
+        want_rows = bool(self._wide)
+
         if self.mesh is None:
             def step(x_local, halo, bank_hist, stream_tail):
                 blk = jnp.concatenate([halo, x_local], axis=0)
@@ -269,8 +283,8 @@ class WidebandReceiver:
                 rows_full = jnp.concatenate([bank_hist, rows], axis=1)
                 stream = jnp.concatenate(
                     [stream_tail, resample(rows_full)], axis=1)
-                return (stream,) + tail_half(x_local, halo, stream,
-                                             rows_full)
+                out = (stream, rows) if want_rows else (stream,)
+                return out + tail_half(x_local, halo, stream, rows_full)
             self._step = jax.jit(step)
             self._state = (
                 jnp.zeros((halo_len, 2), jnp.float32),
@@ -302,12 +316,15 @@ class WidebandReceiver:
             rows_full = jnp.concatenate([bank_hist, rows], axis=1)
             stream = jnp.concatenate(
                 [stream_tail, resample(rows_full)], axis=1)
-            return stream, recv, rows_full[:, -H:], stream[:, -self.T_tail:]
+            out = (stream, rows) if want_rows else (stream,)
+            return out + (recv, rows_full[:, -H:],
+                          stream[:, -self.T_tail:])
 
+        n_out = 5 if want_rows else 4
         self._step = jax.jit(jax.shard_map(
             sstep, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis), P(axis), P(axis))))
+            out_specs=(P(axis),) * n_out))
         self._state = (
             jnp.zeros((d * halo_len, 2), jnp.float32),
             jnp.zeros((m, H, 2), jnp.float32),
@@ -323,7 +340,13 @@ class WidebandReceiver:
             x = np.concatenate(
                 [x, np.zeros((self.n_block - x.shape[0], 2), np.float32)])
         out = self._step(self._put(x), *self._state)
-        self.streams, self._state = out[0], out[1:]
+        if self._wide:
+            self.streams, rows = out[0], out[1]
+            self._state = out[2:]
+            for ws, chunks in zip(self._wide, self._wide_chunks):
+                chunks.append(ws.feed(rows))
+        else:
+            self.streams, self._state = out[0], out[1:]
         self._buf0 = b * self.S_b - self.T_tail
 
     # --- helpers -----------------------------------------------------
@@ -736,13 +759,44 @@ class WidebandReceiver:
                 self._emit(car, gsmtap.GMR1_TCH9, fn, st9.tn, l2)
                 car.csd.append(bytes(bytearray(l2)))
 
+    # --- wide carriers (width 2/3/5) --------------------------------------
+
+    def _process_wide(self) -> None:
+        """Per configured wide channel: run the per-carrier Receiver
+        over the assembled synthesizer stream (the reference's
+        split-then-decode architecture: channelizer output file ->
+        gmr1_rx, utils/gmr1_process_recording.py:89-110)."""
+        from .cfile import ArrayStream
+        from .receiver import Receiver
+
+        for ch, chunks in zip(self.wide_channels, self._wide_chunks):
+            if not chunks:
+                continue
+            stream = ArrayStream(np.concatenate(chunks, axis=0))
+            rxw = Receiver(stream, self.sps, tch_file=stream,
+                           kc=self.kc.tobytes(), tch_csd_file=stream,
+                           fcch_type=self.fcch_type, verbose=self.verbose)
+            n = rxw.run()
+            col = self.chz.freq2index(ch.frequency)
+            car = _Carrier(col=-1 if col is None else col, arfcn=ch.arfcn,
+                           cd=ChanDesc(sps=self.sps), snr=float("nan"))
+            car.speech, car.csd = rxw.speech, rxw.csd
+            for (t, fn, tn, l2b) in rxw.frames:
+                car.frames.append((t, fn, tn, l2b))
+                self.frames.append((ch.arfcn, t, fn, tn, l2b))
+                if self.sink is not None:
+                    self.sink.send(t, fn, tn, l2b, arfcn=ch.arfcn)
+            self.wide_carriers.append(car)
+            self._log(f"[+] wide {ch}: {n} L2 frames")
+
     # --- top level --------------------------------------------------------
 
     def run(self) -> int:
         """Acquire + decode the whole capture.  Returns #L2 frames."""
         if not self.carriers:
             self.acquire()
-        if not self.carriers:
+        self.wide_carriers: list[_Carrier] = []
+        if not self.carriers and not self._wide:
             self._log("[!] no FCCH found on any carrier")
             return 0
         n_blocks = (self.rows_total + self.R_b - 1) // self.R_b
@@ -752,11 +806,13 @@ class WidebandReceiver:
         # done bound (align + (F+2) frames > n_stream)
         drain = self.T_tail // self.S_b + 3
         for b in range(n_blocks + drain):
-            if all(c.done for c in self.carriers):
+            narrow_done = all(c.done for c in self.carriers)
+            if narrow_done and not (self._wide and b < n_blocks):
                 break
             self._ingest_block(b)
             active = [c for c in self.carriers
                       if not c.done and self._ready(c)]
             if active:
                 self._process_block(active)
+        self._process_wide()
         return len(self.frames)

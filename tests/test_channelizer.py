@@ -195,3 +195,60 @@ def test_pallas_branch_filter_parity(rng):
                                                 interpret=True))
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got16 / scale, ref / scale, atol=3e-2)
+
+
+@pytest.mark.parametrize("width", [3, 5])
+def test_wide_carrier_burst_e2e(rng, width):
+    """Bit-exact L2 through width-3/5 PFB synthesizer recombination
+    (utils/gmr1_rx_sdr.py:566-589): an NT9 FACCH9 burst modulated at
+    width*23400 sym/s, channelized, subchannels recombined with
+    post-rotation, RRC'd to 4 sps, demodulated and CRC-checked."""
+    from gmr1_tpu.l1 import facch9
+
+    fs, sps = 1e6, 4
+    chz = Channelizer(fs, CENTER, sps=sps, need_nx=True)
+    ch = Channel(512, width=width)
+    sym_rate = ch.symbol_rate
+
+    l2 = rng.integers(0, 256, 38, dtype=np.uint8)
+    l2[37] &= 0xF0
+    ciph = np.zeros(658, np.uint8)
+    eb = np.asarray(facch9.encode(l2, np.zeros(10, np.uint8),
+                                  np.zeros(4, np.uint8), ciph))
+    x1 = np.asarray(modem.mod(BU.NT9, eb[None], sync_id=0))[0]
+    xc = cplx.to_complex(x1)
+    ratio = fs / sym_rate
+    n = int((len(xc) + 30) * ratio)
+    tt = np.arange(n) / ratio - 10.0
+    s = (np.sinc(tt[:, None] - np.arange(len(xc))[None, :]) @ xc
+         ).astype(np.complex64)
+    wb = make_wideband(rng, fs, [(ch.frequency - CENTER, s)], n + 8192,
+                       noise=1e-3)
+    bank = chz.process(cplx.from_complex(wb))
+    stream = np.asarray(chz.extract(bank, ch))
+
+    blen = BU.NT9.len_syms * sps
+    r = modem.demod(BU.NT9, stream, sps=sps, win=stream.shape[0] - blen)
+    assert int(np.asarray(r.sync_id)) == 0
+    l2d, _sa, _st, bad, _m = facch9.decode(r.ebits, ciph)
+    assert not int(np.asarray(bad))
+    np.testing.assert_array_equal(np.asarray(l2d), l2)
+
+
+def test_wide_streamer_matches_offline_extract(rng):
+    """WideStreamer chunks concatenate to exactly the offline
+    extract() synthesizer output (state carried across blocks)."""
+    fs = 1e6
+    chz = Channelizer(fs, CENTER, sps=4, need_nx=True)
+    ch = Channel(512, width=3)
+    n = 4 * 2500 * chz.analyzer.hop            # 4 blocks of 2500 rows
+    wb = make_wideband(rng, fs, [], n, noise=1.0)
+    bank = np.asarray(chz.process(cplx.from_complex(wb)))
+    ref = np.asarray(chz.extract(bank, ch))
+
+    ws = chz.wide_streamer(ch, block_rows=2500)
+    got = np.concatenate([ws.feed(bank[b * 2500:(b + 1) * 2500]
+                                  .transpose(1, 0, 2))
+                          for b in range(4)], axis=0)
+    assert got.shape[0] == ref.shape[0]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
