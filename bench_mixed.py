@@ -119,6 +119,10 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    if os.environ.get("GMR1_BENCH_CPU"):
+        # the container sitecustomize imports jax (and may claim the
+        # chip) before env vars are honored — force via live config
+        jax.config.update("jax_platforms", "cpu")
 
     from gmr1_tpu.channelizer import Channel, Channelizer
     from gmr1_tpu.channelizer.arfcn import BASE_SYMRATE
@@ -213,7 +217,15 @@ def main(argv=None) -> None:
          for tr in truths], axis=1))                   # (F, S, 60)
     seed_j = jnp.asarray(seed_idx)
 
+    from gmr1_tpu.channelizer.pfb import _analyze_slab_packed
     from gmr1_tpu.ops.pallas_pfb import to_slab
+
+    interp = bool(os.environ.get("GMR1_BENCH_CPU"))
+
+    def block_packed(z):
+        return _analyze_slab_packed(z, chz.analyzer.wa, m, chz.analyzer.p,
+                                    hop, r_cnt, interpret=interp,
+                                    dft_bf16=not interp)
 
     @jax.jit
     def make_bank(x_clean, seed):
@@ -230,7 +242,7 @@ def main(argv=None) -> None:
     def run(noise_bank, il0):
         def step(carry, z):
             il, first, n_bad = carry
-            c2 = chz.analyzer.block_packed(z, r_cnt)
+            c2 = block_packed(z)
 
             # BCCH (frame 2)
             wb_ = windows(c2, g_bcch)[0]

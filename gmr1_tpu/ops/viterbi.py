@@ -75,17 +75,16 @@ def decode(code: ConvCode, soft, in_len: int):
 
     _, _, sign_np = _acs_tables(code)
 
-    # Branch metrics: (..., T, S*2) via one matmul; flat index 2s+b.
-    sym = soft.reshape(*batch_shape, t_steps, n)
-    sign = jnp.asarray(sign_np.reshape(s_cnt * 2, n))  # (S*2, N)
-    bm = jnp.einsum("...tn,sn->...ts", sym, sign,
-                    preferred_element_type=jnp.float32)
-    # Scan carries (..., S) metrics; move time in front.
-    bm = jnp.moveaxis(bm, -2, 0)  # (T, ..., S*2)
+    # Per-step branch metrics are computed INSIDE the scan from the
+    # (..., T, N) symbols — materializing the full (..., T, S*2) tensor
+    # would round-trip HBM (0.4 MB/burst for K=9) for one read.
+    sym = jnp.moveaxis(soft.reshape(*batch_shape, t_steps, n), -2, 0)
+    sign_t = jnp.asarray(sign_np.reshape(s_cnt * 2, n).T)  # (N, S*2)
 
-    # Derive the initial metrics from bm (not from shapes alone) so the
-    # scan carry inherits bm's sharding/varying axes under shard_map.
-    zero = bm[0, ..., :s_cnt] * 0.0  # (..., S)
+    # Derive the initial metrics from sym (not from shapes alone) so
+    # the scan carry inherits its sharding/varying axes under shard_map.
+    zero = jnp.zeros_like(
+        jnp.einsum("...n,ns->...s", sym[0], sign_t[:, :s_cnt]))
     if code.term == TERM_FLUSH:
         m0 = zero + jnp.where(jnp.arange(s_cnt) == 0, 0.0, NEG_INF)
     else:
@@ -96,35 +95,27 @@ def decode(code: ConvCode, soft, in_len: int):
     #   m[p0] == repeat(m[:S/2], 2),  m[p1] == repeat(m[S/2:], 2),
     #   bm[p0, ns&1] == bm_flat[ns],  bm[p1, ns&1] == bm_flat[ns + S]
     # — every "gather" is a reshape/broadcast the VPU does for free.
+    # No per-step normalization: soft inputs are int8-valued, so every
+    # path metric is an exact f32 integer bounded by T*N*127 < 2^24.
     def rep2(v):
         return jnp.repeat(v, 2, axis=-1)
 
-    def acs(m, bm_t):
+    def acs(m, sym_t):
+        bm_t = jnp.einsum("...n,ns->...s", sym_t, sign_t,
+                          preferred_element_type=jnp.float32)
         c0 = rep2(m[..., :half]) + bm_t[..., :s_cnt]
         c1 = rep2(m[..., half:]) + bm_t[..., s_cnt:]
         dec = c1 > c0
-        m_new = jnp.maximum(c0, c1)
-        best = jnp.max(m_new, axis=-1)
-        # Normalize to keep metrics bounded over long blocks.
-        m_new = m_new - best[..., None]
-        return m_new, (dec, best)
+        return jnp.maximum(c0, c1), dec
 
-    m_final, (decisions, step_max) = jax.lax.scan(acs, m0, bm, unroll=8)
-    # Recover the unnormalized winning metric: the per-step max shifts
-    # telescope, so the true best-path metric is the sum of step maxima
-    # relative to the running normalization — track it directly instead:
-    # metric = sum over steps of (max after ACS before normalization).
-    # step_max at step t is already relative to the previous normalized
-    # metrics, so the total is just the sum.
-    metric_total = jnp.sum(step_max, axis=0)
+    m_final, decisions = jax.lax.scan(acs, m0, sym, unroll=8)
 
     if code.term == TERM_FLUSH:
         end_state = (m_final[..., 0] * 0).astype(jnp.int32)
-        end_bias = m_final[..., 0] - jnp.max(m_final, axis=-1)
+        metric_total = m_final[..., 0]
     else:
         end_state = jnp.argmax(m_final, axis=-1).astype(jnp.int32)
-        end_bias = jnp.zeros(batch_shape, jnp.float32)
-    metric_total = metric_total + end_bias
+        metric_total = jnp.max(m_final, axis=-1)
 
     # Gather-free traceback: select this state's decision with a
     # one-hot reduce, then compute the predecessor arithmetically.

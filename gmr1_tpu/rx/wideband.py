@@ -394,7 +394,9 @@ class WidebandReceiver:
         m = self.chz.n_chans
         rows_acq = min(int(np.ceil(acq_len / self.rrc.ratio))
                        + self.rrc.tpb + 2, self.rows_total)
-        bank = self.chz.process(self.wb[:rows_acq * self.chz.analyzer.hop])
+        # self.wb is already rotated/pre-resampled (_prep_wb): analyze
+        # directly — chz.process would apply the prep a second time
+        bank = self.chz.analyzer(self.wb[:rows_acq * self.chz.analyzer.hop])
         streams = self.rrc(jnp.moveaxis(bank, 1, 0))
         acq_len = min(acq_len, int(streams.shape[1]))
 

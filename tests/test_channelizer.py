@@ -252,3 +252,66 @@ def test_wide_streamer_matches_offline_extract(rng):
                           for b in range(4)], axis=0)
     assert got.shape[0] == ref.shape[0]
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_off_grid_fs_pre_resample_decode(rng):
+    """fs NOT on the 31.25 kHz grid: the pre-resampler path
+    (utils/gmr1_rx_sdr.py:411-417) must land the capture on an integer
+    channel grid and decode a BCCH bit-exact."""
+    fs, sps = 900e3, 4
+    chz = Channelizer(fs, CENTER, sps=sps)
+    assert chz.pre_resamp is not None      # 900e3 / 31.25e3 = 28.8
+    ch = Channel(512 + 3)
+
+    l2 = rng.integers(0, 256, size=(1, 24), dtype=np.uint8)
+    x1 = np.asarray(modem.mod(BU.BCCH, np.asarray(bcch.encode(l2))))[0]
+    xc = cplx.to_complex(x1)
+    ratio = fs / BASE_SYMRATE
+    n = int((len(xc) + 30) * ratio)
+    tt = np.arange(n) / ratio - 10.0
+    s = (np.sinc(tt[:, None] - np.arange(len(xc))[None, :]) @ xc)
+    wb = make_wideband(rng, fs, [(ch.frequency - CENTER, s)], n + 8192,
+                       noise=1e-3)
+    bank = chz.process(cplx.from_complex(wb))
+    stream = np.asarray(chz.extract(bank, ch))
+    blen = BU.BCCH.len_syms * sps
+    r = modem.demod(BU.BCCH, stream, sps=sps, win=stream.shape[0] - blen)
+    l2d, bad, _ = bcch.decode(r.ebits)
+    assert not int(np.asarray(bad))
+    np.testing.assert_array_equal(np.asarray(l2d), l2[0])
+
+
+def test_ddc_vs_pfb_same_carrier_parity(rng):
+    """The SAME BCCH carrier decoded through both front-ends — direct
+    DDC chain and PFB channelizer extraction — yields identical L2."""
+    from gmr1_tpu.channelizer.ddc import DirectDDC, DirectParams
+
+    fs, sps = 1e6, 4
+    ch = Channel(512 + 3)                  # 93.75 kHz off center
+    l2 = rng.integers(0, 256, size=(1, 24), dtype=np.uint8)
+    x1 = np.asarray(modem.mod(BU.BCCH, np.asarray(bcch.encode(l2))))[0]
+    xc = cplx.to_complex(x1)
+    ratio = fs / BASE_SYMRATE
+    n = int((len(xc) + 30) * ratio)
+    tt = np.arange(n) / ratio - 10.0
+    s = (np.sinc(tt[:, None] - np.arange(len(xc))[None, :]) @ xc)
+    wb = make_wideband(rng, fs, [(ch.frequency - CENTER, s)], n + 8192,
+                       noise=1e-3)
+    wbp = cplx.from_complex(wb)
+    blen = BU.BCCH.len_syms * sps
+
+    def decode(stream):
+        stream = np.asarray(stream)
+        r = modem.demod(BU.BCCH, stream, sps=sps,
+                        win=stream.shape[0] - blen)
+        l2d, bad, _ = bcch.decode(r.ebits)
+        assert not int(np.asarray(bad))
+        return np.asarray(l2d)
+
+    chz = Channelizer(fs, CENTER, sps=sps)
+    got_pfb = decode(chz.extract(chz.process(wbp), ch))
+    ddc = DirectDDC(DirectParams(fs, BASE_SYMRATE, sps),
+                    ch.frequency - CENTER)
+    got_ddc = decode(ddc(wbp))
+    np.testing.assert_array_equal(got_pfb, got_ddc)
+    np.testing.assert_array_equal(got_pfb, l2[0])

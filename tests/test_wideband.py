@@ -295,3 +295,32 @@ def test_wide_channel_receive(wb_e2e):
     assert len(got) >= 2, sorted(got)
     for fn, l2 in got.items():
         assert fn in si1s and l2 == bytes(bytearray(si1s[fn]))
+
+
+def test_off_grid_fs_wideband_receive():
+    """Capture at an off-grid sample rate (fs/31.25k not integer): the
+    receiver pre-resamples to the integer channel grid at ingest
+    (utils/gmr1_rx_sdr.py:411-417) and still decodes SI1 bit-exact."""
+    rng = np.random.default_rng(0x0FF6)
+    fs_off = 530e3                       # 16.96 channels -> resamp
+    cap = Capture(rng, n_frames=28, noise=0.004)
+    si1s = fill_bcch(cap, rng)
+
+    n_in = len(cap.buf)
+    n_wb = int(np.floor((n_in - 1) * fs_off / CARRIER_RATE))
+    pos = np.arange(n_wb) * CARRIER_RATE / fs_off
+    grid = np.arange(n_in, dtype=np.float64)
+    bb = np.interp(pos, grid, cap.buf.real) \
+        + 1j * np.interp(pos, grid, cap.buf.imag)
+    t = np.arange(n_wb) / fs_off
+    df = Channel(A_FULL).frequency - CENTER
+    wb = (bb * np.exp(2j * np.pi * df * t)).astype(np.complex64)
+
+    rx = WidebandReceiver(wb, fs_off, CENTER, sps=SPS, arfcns=[A_FULL])
+    assert rx.chz.pre_resamp is not None
+    rx.run()
+    car = _car(rx, A_FULL)
+    got = {fn: l2 for t_, fn, tn_, l2 in car.frames if t_ == gt.GMR1_BCCH}
+    assert len(got) >= 2, sorted(got)
+    for fn, l2 in got.items():
+        assert fn in si1s and l2 == bytes(bytearray(si1s[fn]))
