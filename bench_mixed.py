@@ -164,14 +164,17 @@ def main(argv=None) -> None:
     wb_planar = np.stack([wb.real, wb.imag], -1).astype(np.float32)
 
     # --- calibrate pipeline delay through analysis + RRC ----------------
+    # the burst sits at 2 frames + the (small) analysis/RRC delay, so a
+    # 256-sample search suffices (a frames-wide window makes the demod's
+    # one-hot alignment matmul large enough to upset the TPU compiler)
     bank = chz.process(wb_planar)
     stream = np.asarray(chz.extract(bank, Channel(arfcns[0])))
     blen = BU.BCCH.len_syms * 4
-    cal = stream[:3 * FRAME_OUT + blen + 64]
-    r = modem.demod(BU.BCCH, cal, sps=4, win=cal.shape[0] - blen)
+    cal = stream[2 * FRAME_OUT:2 * FRAME_OUT + blen + 256]
+    r = modem.demod(BU.BCCH, cal, sps=4, win=256)
     l2d, bad, _ = bcch.decode(r.ebits)
     assert not int(np.asarray(bad)), "calibration decode failed"
-    p0 = int(round(float(np.asarray(r.toa)))) - 2 * FRAME_OUT
+    p0 = int(round(float(np.asarray(r.toa))))
     assert p0 > 16, p0
     seed_idx = np.asarray([chz.freq2index(Channel(a).frequency)
                            for a in arfcns])

@@ -75,11 +75,33 @@ def decode(code: ConvCode, soft, in_len: int):
 
     _, _, sign_np = _acs_tables(code)
 
-    # Per-step branch metrics are computed INSIDE the scan from the
-    # (..., T, N) symbols — materializing the full (..., T, S*2) tensor
-    # would round-trip HBM (0.4 MB/burst for K=9) for one read.
-    sym = jnp.moveaxis(soft.reshape(*batch_shape, t_steps, n), -2, 0)
+    # 256-state tail-biting (K=9 xCH/DC12): VMEM-resident Pallas kernel
+    # on TPU backends (ops/pallas_viterbi.py); bit-exact with the XLA
+    # path below (tests/test_conv.py::test_k9_pallas_parity).
+    if (s_cnt == 256 and n == 3 and code.term == TERM_TAIL_BITING
+            and jax.default_backend() in ("tpu", "axon")):
+        from .pallas_viterbi import decode_k9_tb
+        sym = soft.reshape(-1, t_steps, n)
+        bits, metric = decode_k9_tb(
+            sym, sign_np.reshape(s_cnt * 2, n), t_steps)
+        return (bits.reshape(*batch_shape, t_steps)[..., :in_len],
+                metric.reshape(batch_shape))
     sign_t = jnp.asarray(sign_np.reshape(s_cnt * 2, n).T)  # (N, S*2)
+    sym = jnp.moveaxis(soft.reshape(*batch_shape, t_steps, n), -2, 0)
+
+    # Branch-metric strategy by trellis size (measured on v5e):
+    #  * small S (K<=7): ONE big upfront matmul materializes all branch
+    #    metrics — the (..., T, S*2) tensor is small and the scan body
+    #    stays pure VPU;
+    #  * large S (K=9, S*2=512): compute bm INSIDE the scan — the full
+    #    tensor is 0.4 MB/burst and its HBM round-trip dominates.
+    bm_inside = s_cnt > 64
+    if bm_inside:
+        xs = sym
+    else:
+        bm = jnp.einsum("t...n,ns->t...s", sym, sign_t,
+                        preferred_element_type=jnp.float32)
+        xs = bm
 
     # Derive the initial metrics from sym (not from shapes alone) so
     # the scan carry inherits its sharding/varying axes under shard_map.
@@ -100,15 +122,18 @@ def decode(code: ConvCode, soft, in_len: int):
     def rep2(v):
         return jnp.repeat(v, 2, axis=-1)
 
-    def acs(m, sym_t):
-        bm_t = jnp.einsum("...n,ns->...s", sym_t, sign_t,
-                          preferred_element_type=jnp.float32)
+    def acs(m, x_t):
+        if bm_inside:
+            bm_t = jnp.einsum("...n,ns->...s", x_t, sign_t,
+                              preferred_element_type=jnp.float32)
+        else:
+            bm_t = x_t
         c0 = rep2(m[..., :half]) + bm_t[..., :s_cnt]
         c1 = rep2(m[..., half:]) + bm_t[..., s_cnt:]
         dec = c1 > c0
         return jnp.maximum(c0, c1), dec
 
-    m_final, decisions = jax.lax.scan(acs, m0, sym, unroll=8)
+    m_final, decisions = jax.lax.scan(acs, m0, xs, unroll=8)
 
     if code.term == TERM_FLUSH:
         end_state = (m_final[..., 0] * 0).astype(jnp.int32)

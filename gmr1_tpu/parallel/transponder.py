@@ -129,6 +129,16 @@ class ShardedTransponder:
 class StreamingTransponder:
     """STREAMING multi-chip pipeline: state carried across steps.
 
+    Relationship to the application: `rx.wideband.WidebandReceiver`
+    (mesh=...) is the full receiver — the SAME SPMD ingest (halo
+    ppermute + all_to_all + carrier-sharded RRC) driven by the host
+    channel FSMs, with dynamic per-carrier assignments and closed-loop
+    tracking.  This class is its fixed-schedule core: every carrier
+    runs the full mixed workload on a static slot map with NO host in
+    the loop, which is the right shape for throughput benchmarking and
+    for bulk workloads whose assignments change rarely (the FSMs then
+    only update the static schedule between launches).
+
     Each `step(x, carry)` consumes the NEXT D*n_local wideband samples
     (time-sharded) and runs a mixed per-carrier workload over F TDMA
     frames on every carrier of the transponder:

@@ -165,3 +165,29 @@ def test_distance_zero_on_clean(rng):
     bits, _ = VT.decode(code, soft, 32)
     d = np.array(VT.distance(code, soft, bits))
     np.testing.assert_allclose(d, 0.0, atol=1e-3)
+
+
+def test_k9_pallas_parity(rng):
+    """Pallas 256-state tail-biting kernel (interpret mode) is
+    bit-exact with the XLA scan decoder: same decisions, same
+    first-max argmax, same traceback."""
+    from gmr1_tpu.ops import viterbi as VT
+    from gmr1_tpu.ops.pallas_viterbi import decode_k9_tb
+
+    code = CV.ConvCode("k9_13_tb", 9, CV.K9_13.polys,
+                       term=CV.TERM_TAIL_BITING)
+    t_steps, b = 26, 200
+    bits = rng.integers(0, 2, (b, t_steps), dtype=np.uint8)
+    enc = np.asarray(CV.encode(code, bits))
+    soft = np.where(enc > 0, -127.0, 127.0).astype(np.float32)
+    soft += rng.normal(0, 40.0, soft.shape).astype(np.float32)
+
+    want_bits, want_metric = VT.decode(code, soft, t_steps)
+    _, _, sign = VT._acs_tables(code)
+    got_bits, got_metric = decode_k9_tb(
+        soft.reshape(b, t_steps, 3),
+        sign.reshape(code.num_states * 2, 3), t_steps, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_bits),
+                                  np.asarray(want_bits))
+    np.testing.assert_allclose(np.asarray(got_metric),
+                               np.asarray(want_metric), rtol=0, atol=0)
