@@ -75,15 +75,19 @@ def decode(code: ConvCode, soft, in_len: int):
 
     _, _, sign_np = _acs_tables(code)
 
-    # 256-state tail-biting (K=9 xCH/DC12): VMEM-resident Pallas kernel
-    # on TPU backends (ops/pallas_viterbi.py); bit-exact with the XLA
-    # path below (tests/test_conv.py::test_k9_pallas_parity).
-    if (s_cnt == 256 and n == 3 and code.term == TERM_TAIL_BITING
-            and jax.default_backend() in ("tpu", "axon")):
-        from .pallas_viterbi import decode_k9_tb
+    # TPU backends: VMEM-resident Pallas kernel (ops/pallas_viterbi.py)
+    # for LARGE trellises; bit-exact with the XLA path below
+    # (tests/test_conv.py::test_pallas_trellis_parity).  Measured on
+    # v5e: 2.7x for the 256-state K=9; for K=5/K=7 the kernel wins
+    # standalone but embedding it in large fused programs (the mixed
+    # transponder scan) regressed 12x — XLA cannot fuse/overlap around
+    # the custom call — so small trellises keep the pure-XLA scan.
+    if s_cnt >= 256 and jax.default_backend() in ("tpu", "axon"):
+        from .pallas_viterbi import decode_trellis
         sym = soft.reshape(-1, t_steps, n)
-        bits, metric = decode_k9_tb(
-            sym, sign_np.reshape(s_cnt * 2, n), t_steps)
+        bits, metric = decode_trellis(
+            sym, sign_np.reshape(s_cnt * 2, n), t_steps, s_cnt,
+            code.term == TERM_FLUSH)
         return (bits.reshape(*batch_shape, t_steps)[..., :in_len],
                 metric.reshape(batch_shape))
     sign_t = jnp.asarray(sign_np.reshape(s_cnt * 2, n).T)  # (N, S*2)

@@ -167,27 +167,36 @@ def test_distance_zero_on_clean(rng):
     np.testing.assert_allclose(d, 0.0, atol=1e-3)
 
 
-def test_k9_pallas_parity(rng):
-    """Pallas 256-state tail-biting kernel (interpret mode) is
-    bit-exact with the XLA scan decoder: same decisions, same
-    first-max argmax, same traceback."""
+def test_pallas_trellis_parity(rng):
+    """Pallas VMEM-resident trellis kernel (interpret mode) is
+    bit-exact with the XLA scan decoder over every trellis class:
+    same decisions, same first-max argmax, same traceback."""
     from gmr1_tpu.ops import viterbi as VT
-    from gmr1_tpu.ops.pallas_viterbi import decode_k9_tb
+    from gmr1_tpu.ops.pallas_viterbi import decode_trellis
 
-    code = CV.ConvCode("k9_13_tb", 9, CV.K9_13.polys,
-                       term=CV.TERM_TAIL_BITING)
-    t_steps, b = 26, 200
-    bits = rng.integers(0, 2, (b, t_steps), dtype=np.uint8)
-    enc = np.asarray(CV.encode(code, bits))
-    soft = np.where(enc > 0, -127.0, 127.0).astype(np.float32)
-    soft += rng.normal(0, 40.0, soft.shape).astype(np.float32)
+    cases = [
+        CV.ConvCode("k5_12f", 5, CV.K5_12.polys, term=CV.TERM_FLUSH),
+        CV.ConvCode("tch3_tb", 7, CV.TCH3_K7.polys,
+                    term=CV.TERM_TAIL_BITING),
+        CV.ConvCode("k9_13_tb", 9, CV.K9_13.polys,
+                    term=CV.TERM_TAIL_BITING),
+    ]
+    for code in cases:
+        t_steps, b = 26, 200
+        bits = rng.integers(0, 2, (b, t_steps), dtype=np.uint8)
+        enc = np.asarray(CV.encode(code, bits))
+        soft = np.where(enc > 0, -127.0, 127.0).astype(np.float32)
+        soft += rng.normal(0, 40.0, soft.shape).astype(np.float32)
 
-    want_bits, want_metric = VT.decode(code, soft, t_steps)
-    _, _, sign = VT._acs_tables(code)
-    got_bits, got_metric = decode_k9_tb(
-        soft.reshape(b, t_steps, 3),
-        sign.reshape(code.num_states * 2, 3), t_steps, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got_bits),
-                                  np.asarray(want_bits))
-    np.testing.assert_allclose(np.asarray(got_metric),
-                               np.asarray(want_metric), rtol=0, atol=0)
+        want_bits, want_metric = VT.decode(code, soft, t_steps)
+        _, _, sign = VT._acs_tables(code)
+        t_total = enc.shape[-1] // code.n     # incl. flush tail steps
+        got_bits, got_metric = decode_trellis(
+            soft.reshape(b, t_total, code.n),
+            sign.reshape(code.num_states * 2, code.n), t_total,
+            code.num_states, code.term == CV.TERM_FLUSH, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_bits)[:, :t_steps],
+                                      np.asarray(want_bits), err_msg=code.name)
+        np.testing.assert_allclose(np.asarray(got_metric),
+                                   np.asarray(want_metric), rtol=0, atol=0,
+                                   err_msg=code.name)
