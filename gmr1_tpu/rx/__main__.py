@@ -46,6 +46,10 @@ def main(argv=None) -> int:
                     help="FCCH beams per carrier (multi-beam scan)")
     ap.add_argument("--wide", action="append", default=[],
                     help="wide carrier spec like 500x3 (repeatable)")
+    ap.add_argument("--stream", action="store_true",
+                    help="consume the capture strictly forward in "
+                         "blocks (live-source mode; fs must sit on "
+                         "the 31.25 kHz grid)")
     ap.add_argument("--key", dest="key_opt", help="A5 key (16 hex digits)")
     ap.add_argument("--sps", dest="sps_opt", type=int, default=4)
     ap.add_argument("--pcap", help="write GSMTap stream to a pcap file")
@@ -76,9 +80,11 @@ def main(argv=None) -> int:
             return 1
         arfcns = [int(a) for a in args.arfcns.split(",")] \
             if args.arfcns else None
+        from .cfile import CFileSource
         from .wideband import WidebandReceiver
         rx = WidebandReceiver(
-            CFile(args.wideband).data, args.fs, args.center,
+            CFileSource(args.wideband) if args.stream
+            else CFile(args.wideband).data, args.fs, args.center,
             sps=args.sps_opt, kc=kc, sink=sink, arfcns=arfcns,
             snr_min=args.snr_min, fcch_type=ft, verbose=args.verbose,
             beams=args.beams,

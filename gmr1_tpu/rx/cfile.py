@@ -40,6 +40,47 @@ class CFile(ArrayStream):
         self.data = raw.reshape(-1, 2)
 
 
+class SampleSource:
+    """Sequential sample source for streamed receive (the role of the
+    reference's live osmosdr source, utils/gmr1_rx_sdr.py:814-1068).
+
+    `read(n)` returns the next planar (m, 2) float32 block with m <= n;
+    m < n signals end-of-stream.  No rewind — the receiver buffers the
+    acquisition prefix itself."""
+
+    def read(self, n: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+class CFileSource(SampleSource):
+    """Streamed .cfile reader: mmap'd, but consumed strictly forward in
+    blocks — the receiver never holds the whole capture."""
+
+    def __init__(self, path: str):
+        self._f = CFile(path)
+        self._pos = 0
+
+    def read(self, n: int) -> np.ndarray:
+        out = self._f.data[self._pos:self._pos + n]
+        self._pos += out.shape[0]
+        return out
+
+
+class ArraySource(SampleSource):
+    """SampleSource over an in-memory array (tests, synthetic feeds)."""
+
+    def __init__(self, data: np.ndarray):
+        if data.ndim == 1:
+            data = np.stack([data.real, data.imag], axis=-1)
+        self._d = np.asarray(data, np.float32)
+        self._pos = 0
+
+    def read(self, n: int) -> np.ndarray:
+        out = self._d[self._pos:self._pos + n]
+        self._pos += out.shape[0]
+        return out
+
+
 def load(path: str) -> CFile:
     return CFile(path)
 

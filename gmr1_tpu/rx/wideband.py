@@ -183,9 +183,6 @@ class WidebandReceiver:
                  band: str = "L", uplink: bool = False,
                  verbose: bool = False, mesh=None, beams: int = 1,
                  wide_channels=None):
-        wb = np.asarray(wb)
-        if wb.ndim == 1:         # complex -> planar
-            wb = np.stack([wb.real, wb.imag], axis=-1)
         self.sps = sps
         self.kc = np.frombuffer(kc, np.uint8) if kc else np.zeros(8, np.uint8)
         self.sink = sink
@@ -204,9 +201,30 @@ class WidebandReceiver:
         self.chz = Channelizer(samp_rate, center_freq, sps=sps,
                                need_nx=bool(self.wide_channels))
         self.rrc = self.chz._rrc_resampler(1)
-        self.wb = self._prep_wb(wb.astype(np.float32))
-        self.rows_total = self.wb.shape[0] // self.chz.analyzer.hop
-        self.n_stream = int(np.floor(self.rows_total * self.rrc.ratio))
+        from .cfile import ArraySource, SampleSource
+        if isinstance(wb, SampleSource):
+            # true streaming ingest (live-source role of the reference
+            # flowgraph): samples are consumed strictly forward; only
+            # the acquisition prefix is buffered for replay.  The
+            # pre-resampler path needs the whole capture, so streamed
+            # sources must sit on the 31.25 kHz grid; the grid
+            # pre-rotation is applied per block (exact float64 phase).
+            if self.chz.pre_resamp is not None:
+                raise ValueError(
+                    "streamed source needs fs on the 31.25 kHz grid")
+            self._src = wb
+            self._rotate = bool(self.chz.rotation)
+        else:
+            wb = np.asarray(wb)
+            if wb.ndim == 1:         # complex -> planar
+                wb = np.stack([wb.real, wb.imag], axis=-1)
+            self._src = ArraySource(self._prep_wb(wb.astype(np.float32)))
+            self._rotate = False
+        self._replay = np.zeros((0, 2), np.float32)
+        self._n_pulled = 0           # samples pulled from the source
+        self._n_in = 0               # samples consumed by the block loop
+        self._eof = False
+        self.n_stream = None         # known at EOF (or for array input)
         self.mesh = mesh
         self.arfcn_filter = arfcns
         self.carriers: list[_Carrier] = []
@@ -332,13 +350,47 @@ class WidebandReceiver:
         sh = NamedSharding(mesh, P(axis))
         self._put = lambda x: jax.device_put(jnp.asarray(x), sh)
 
+    def _pull(self, n: int) -> np.ndarray:
+        """Read n samples from the source (short at EOF), applying the
+        grid pre-rotation per block with exact float64 phase."""
+        x = np.asarray(self._src.read(n), np.float32)
+        if self._rotate and x.shape[0]:
+            ph = self.chz.rotation * (
+                self._n_pulled + np.arange(x.shape[0], dtype=np.float64))
+            ph = np.mod(ph, 2.0 * np.pi).astype(np.float32)
+            c, s = np.cos(ph), np.sin(ph)
+            x = np.stack([x[:, 0] * c - x[:, 1] * s,
+                          x[:, 0] * s + x[:, 1] * c], axis=-1)
+        self._n_pulled += x.shape[0]
+        return x
+
+    def _next_block(self) -> np.ndarray:
+        """Next n_block samples: acquisition replay buffer first, then
+        the source; zero-padded at EOF (which pins n_stream)."""
+        need = self.n_block
+        parts = []
+        if self._replay.shape[0]:
+            take = self._replay[:need]
+            self._replay = self._replay[take.shape[0]:]
+            parts.append(take)
+            need -= take.shape[0]
+        if need:
+            parts.append(self._pull(need))
+        x = np.concatenate(parts) if len(parts) != 1 else parts[0]
+        self._n_in += x.shape[0]
+        if x.shape[0] < self.n_block:
+            if not self._eof:
+                self._eof = True
+                rows = self._n_in // self.chz.analyzer.hop
+                self.n_stream = int(np.floor(rows * self.rrc.ratio))
+            x = np.concatenate(
+                [x, np.zeros((self.n_block - x.shape[0], 2), np.float32)])
+        return x
+
     def _ingest_block(self, b: int) -> None:
         """Run the ingest step for block b; sets self.streams (M, T_buf,
         2) and self._buf0 (absolute output sample of buffer index 0)."""
-        x = self.wb[b * self.n_block:(b + 1) * self.n_block]
-        if x.shape[0] < self.n_block:
-            x = np.concatenate(
-                [x, np.zeros((self.n_block - x.shape[0], 2), np.float32)])
+        x = self._next_block()
         out = self._step(self._put(x), *self._state)
         if self._wide:
             self.streams, rows = out[0], out[1]
@@ -387,18 +439,23 @@ class WidebandReceiver:
         n330 = (330 * SYM_RATE * sps) // 1000
         n650 = (650 * SYM_RATE * sps) // 1000
         scan = n330 if self.beams <= 1 else n650
-        acq_len = min(scan + 2 * blen, self.n_stream)
+
+        # pull the scan prefix from the source and keep it for replay
+        # into the block loop (samples are consumed strictly forward)
+        m = self.chz.n_chans
+        hop = self.chz.analyzer.hop
+        rows_acq = (int(np.ceil((scan + 2 * blen) / self.rrc.ratio))
+                    + self.rrc.tpb + 2)
+        prefix = self._pull(rows_acq * hop)
+        self._replay = np.concatenate([self._replay, prefix]) \
+            if self._replay.shape[0] else prefix
+        # prefix samples are already grid-prepped (_pull/_prep_wb):
+        # analyze directly — chz.process would apply the prep twice
+        bank = self.chz.analyzer(prefix[:(prefix.shape[0] // hop) * hop])
+        streams = self.rrc(jnp.moveaxis(bank, 1, 0))
+        acq_len = min(scan + 2 * blen, int(streams.shape[1]))
         if acq_len < n330 + blen:
             raise ValueError("capture shorter than the 330 ms FCCH scan")
-
-        m = self.chz.n_chans
-        rows_acq = min(int(np.ceil(acq_len / self.rrc.ratio))
-                       + self.rrc.tpb + 2, self.rows_total)
-        # self.wb is already rotated/pre-resampled (_prep_wb): analyze
-        # directly — chz.process would apply the prep a second time
-        bank = self.chz.analyzer(self.wb[:rows_acq * self.chz.analyzer.hop])
-        streams = self.rrc(jnp.moveaxis(bank, 1, 0))
-        acq_len = min(acq_len, int(streams.shape[1]))
 
         if self.beams <= 1:
             toa_r = np.asarray(
@@ -587,7 +644,8 @@ class WidebandReceiver:
         # ---- advance block ----------------------------------------------
         # one frame of slot offset + the largest burst window fits in
         # two extra frame lengths, so stop when the NEXT block would
-        # need samples past the capture end (mirrors gmr1_rx.c:893-894)
+        # need samples past the capture end (mirrors gmr1_rx.c:893-894);
+        # n_stream is unknown until the source hits EOF
         for car in active:
             cd = car.cd
             d_align, d_freq = cd._pending
@@ -595,7 +653,8 @@ class WidebandReceiver:
             cd.align += F * frame_len + d_align
             cd.freq_err += d_freq
             cd.fn += F
-            if cd.align + (F + 2) * frame_len > self.n_stream:
+            if self.n_stream is not None \
+               and cd.align + (F + 2) * frame_len > self.n_stream:
                 car.done = True
 
     # --- TCH3 host FSM (gmr1_rx.c:356-600 over batched results) ---------
@@ -801,20 +860,26 @@ class WidebandReceiver:
         if not self.carriers and not self._wide:
             self._log("[!] no FCCH found on any carrier")
             return 0
-        n_blocks = (self.rows_total + self.R_b - 1) // self.R_b
         # carriers lag the ingest frontier by up to T_tail + their
-        # initial align, so after the capture's own blocks keep
-        # draining with zero-input blocks until every carrier hits its
-        # done bound (align + (F+2) frames > n_stream)
-        drain = self.T_tail // self.S_b + 3
-        for b in range(n_blocks + drain):
+        # initial align, so after the source hits EOF keep draining
+        # with zero-input blocks until every carrier hits its done
+        # bound (align + (F+2) frames > n_stream)
+        drain_max = self.T_tail // self.S_b + 3
+        b = drained = 0
+        while True:
             narrow_done = all(c.done for c in self.carriers)
-            if narrow_done and not (self._wide and b < n_blocks):
+            if narrow_done and (not self._wide or self._eof):
                 break
+            if self._eof and drained >= drain_max:
+                break
+            was_eof = self._eof
             self._ingest_block(b)
+            if was_eof:
+                drained += 1
             active = [c for c in self.carriers
                       if not c.done and self._ready(c)]
             if active:
                 self._process_block(active)
+            b += 1
         self._process_wide()
         return len(self.frames)

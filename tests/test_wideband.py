@@ -324,3 +324,18 @@ def test_off_grid_fs_wideband_receive():
     assert len(got) >= 2, sorted(got)
     for fn, l2 in got.items():
         assert fn in si1s and l2 == bytes(bytearray(si1s[fn]))
+
+
+def test_streamed_source_identical_frames(wb_e2e):
+    """Consuming the capture strictly forward through a SampleSource
+    (live-source mode: only the acquisition prefix is buffered) decodes
+    identical frames to the array-input form."""
+    from gmr1_tpu.rx.cfile import ArraySource
+
+    rx, *_, wb = wb_e2e
+    rx2 = WidebandReceiver(ArraySource(wb), FS, CENTER, sps=SPS)
+    rx2.run()
+    assert rx2.frames == rx.frames
+    for c1 in rx.carriers:
+        c2 = _car(rx2, c1.arfcn)
+        assert c2.speech == c1.speech and c2.csd == c1.csd
