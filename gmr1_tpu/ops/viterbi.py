@@ -78,10 +78,12 @@ def decode(code: ConvCode, soft, in_len: int):
     # TPU backends: VMEM-resident Pallas kernel (ops/pallas_viterbi.py)
     # for LARGE trellises; bit-exact with the XLA path below
     # (tests/test_conv.py::test_pallas_trellis_parity).  Measured on
-    # v5e: 2.7x for the 256-state K=9; for K=5/K=7 the kernel wins
-    # standalone but embedding it in large fused programs (the mixed
-    # transponder scan) regressed 12x — XLA cannot fuse/overlap around
-    # the custom call — so small trellises keep the pure-XLA scan.
+    # v5e: 2.7x for the 256-state K=9.  Small trellises keep the XLA
+    # scan: (a) the kernel's per-step loop overhead caps K=5 at ~2.0M
+    # bursts/s vs 1.7M for XLA — no real win; (b) TCH9's per-carrier
+    # deinterleaver chain VMAPS its decode, and a vmapped pallas_call
+    # lowers to one kernel launch per carrier (measured 12x slower on
+    # the mixed transponder workload).
     if s_cnt >= 256 and jax.default_backend() in ("tpu", "axon"):
         from .pallas_viterbi import decode_trellis
         sym = soft.reshape(-1, t_steps, n)
