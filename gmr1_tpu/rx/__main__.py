@@ -25,6 +25,14 @@ from ..sdr import fcch
 from . import CFile, GsmtapSink, Receiver
 
 
+def _dump(path: str | None, chunks) -> None:
+    """Append decoded payload blocks to a file (gmr1_rx.c:342-347)."""
+    if path and chunks:
+        with open(path, "ab") as f:
+            for c in chunks:
+                f.write(c)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="gmr1_tpu.rx",
@@ -50,6 +58,12 @@ def main(argv=None) -> int:
                     help="consume the capture strictly forward in "
                          "blocks (live-source mode; fs must sit on "
                          "the 31.25 kHz grid)")
+    ap.add_argument("--csd-out", metavar="FILE",
+                    help="append decoded TCH9 CSD payloads (the "
+                         "reference's /tmp/csd.data, gmr1_rx.c:342)")
+    ap.add_argument("--speech-out", metavar="FILE",
+                    help="append decoded 10-byte TCH3 vocoder frames "
+                         "(feed to python -m gmr1_tpu.codec)")
     ap.add_argument("--key", dest="key_opt", help="A5 key (16 hex digits)")
     ap.add_argument("--sps", dest="sps_opt", type=int, default=4)
     ap.add_argument("--pcap", help="write GSMTap stream to a pcap file")
@@ -95,6 +109,8 @@ def main(argv=None) -> int:
                         if c.frames)
         print(f"[+] {n} L2 frames decoded across "
               f"{len(cars)} carriers ({per})", file=sys.stderr)
+        _dump(args.csd_out, [b for c in cars for b in c.csd])
+        _dump(args.speech_out, [b for c in cars for b in c.speech])
         sink.close()
         return 0
 
@@ -120,6 +136,8 @@ def main(argv=None) -> int:
     print(f"[+] {n} L2 frames decoded "
           f"({len(rx.speech)} speech, {len(rx.csd)} CSD blocks)",
           file=sys.stderr)
+    _dump(args.csd_out, rx.csd)
+    _dump(args.speech_out, rx.speech)
     sink.close()
     return 0
 

@@ -107,3 +107,17 @@ def test_rx_cli(tmp_path):
     n = int(r.stderr.split(b"[+] ")[1].split()[0])
     assert n >= 3
     assert pcap.stat().st_size > 24 + n * (16 + 16 + 28)
+
+
+def test_rx_cli_payload_out(tmp_path):
+    """--csd-out / --speech-out append decoded payloads (the
+    reference's /tmp/csd.data side-channel, gmr1_rx.c:342-347)."""
+    from gmr1_tpu.rx.__main__ import _dump
+
+    p = tmp_path / "csd.data"
+    _dump(str(p), [b"abc", b"def"])
+    _dump(str(p), [b"gh"])
+    assert p.read_bytes() == b"abcdefgh"
+    _dump(None, [b"x"])          # disabled -> no-op
+    _dump(str(tmp_path / "empty"), [])
+    assert not (tmp_path / "empty").exists()
