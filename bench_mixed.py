@@ -255,13 +255,15 @@ def main(argv=None) -> None:
             n_bad += jnp.sum(l2b[seed_j] != exp_bcch)
 
             # TCH3 speech slot: energy + DKAB + detect + demod + decode
+            # (burst-type detect reuses the demod correlations — the
+            # same scores modem.detect computes, rx/wideband.py)
+            from gmr1_tpu.rx.wideband import _bt_from_demods
             ws = windows(c2, g_s)                      # (F, M, n, 2)
             _e = jnp.sum(cplx.abs2(ws), axis=-2)
             rd = dkab.demod(ws, 4, DKP)
-            bt, _s, _t, _p = modem.detect(
-                (BU.NT3_FACCH, BU.NT3_SPEECH), ws, sps=4, win=W3,
-                e_toa=float(W3 >> 1))
+            rf_s = modem.demod(BU.NT3_FACCH, ws, sps=4, win=W3)
             rs = modem.demod(BU.NT3_SPEECH, ws, sps=4, win=W3)
+            bt = _bt_from_demods(rf_s, rs, float(W3 >> 1))
             f0, f1, _sb, _mt = tch3.decode(rs.ebits)
             n_bad += jnp.sum(bt[:, seed_j] != 1)
             n_bad += jnp.sum(f0[:, seed_j] != exp_sf0)

@@ -121,6 +121,16 @@ def _phase_ctrl(streams, idx_b, idx_c, freqs, sps: int):
                 eb=_energy(wb), l2c=l2c, badc=badc, ec=_energy(wc))
 
 
+def _bt_from_demods(rf, rs, e_toa: float):
+    """Burst-type classification from the two demod results — the same
+    peak powers and e_toa-distance gate modem.detect computes
+    (pi4cxpsk.c:657-659), without redoing the sync correlations."""
+    def score(r):
+        return r.pwr / jnp.maximum(jnp.abs(e_toa - r.toa), 1e-6)
+    return jnp.argmax(jnp.stack([score(rf), score(rs)], axis=-1),
+                      axis=-1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("sps",))
 def _phase_tch3(streams, idx_t, p, freqs, sps: int):
     """Full TCH3 slot path: energy, DKAB, type detect, FACCH + speech
@@ -130,11 +140,9 @@ def _phase_tch3(streams, idx_t, p, freqs, sps: int):
     fs = -freqs[:, None]
     wt = _windows(streams, idx_t, BU.NT3_FACCH.len_syms * sps + w)
     rd = dkab.demod(wt, sps, p[:, None], fs)
-    bt, _sid, _toa, _pw = modem.detect(
-        (BU.NT3_FACCH, BU.NT3_SPEECH), wt, sps=sps, win=w,
-        freq_shift=fs, e_toa=float(w >> 1))
     rf = modem.demod(BU.NT3_FACCH, wt, sps=sps, win=w, freq_shift=fs)
     rs = modem.demod(BU.NT3_SPEECH, wt, sps=sps, win=w, freq_shift=fs)
+    bt = _bt_from_demods(rf, rs, float(w >> 1))
     return dict(et=_energy(wt), dk_bits=rd.ebits, dk_found=rd.found,
                 bt=bt, f_ebits=rf.ebits, f_sid=rf.sync_id, s_ebits=rs.ebits)
 

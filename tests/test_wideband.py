@@ -339,3 +339,22 @@ def test_streamed_source_identical_frames(wb_e2e):
     for c1 in rx.carriers:
         c2 = _car(rx2, c1.arfcn)
         assert c2.speech == c1.speech and c2.csd == c1.csd
+
+
+def test_speech_frames_through_codec(wb_e2e):
+    """Receive-to-audio integration: the TCH3 vocoder frames decoded by
+    the wideband receiver feed the AMBE codec to 160 PCM samples per
+    20 ms frame (the reference splits this across gmr1_rx +
+    gmr1_ambe_decode; src/gmr1_ambe_decode.c:125-155)."""
+    from gmr1_tpu.codec import codec
+
+    rx, *_ = wb_e2e
+    car = _car(rx, A_FULL)
+    assert len(car.speech) >= 6
+    frames = np.stack([np.frombuffer(f, np.uint8) for f in car.speech])
+    st = codec.init()
+    _st, pcm = codec.decode_frames(st, frames)
+    pcm = np.asarray(pcm)
+    assert pcm.shape == (len(frames), 160)
+    assert pcm.dtype == np.int16
+    assert np.isfinite(pcm.astype(np.float64)).all()
