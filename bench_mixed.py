@@ -278,14 +278,12 @@ def main(argv=None) -> None:
             n_bad += jnp.sum(badf[seed_j])
             n_bad += jnp.sum(l2f[seed_j] != exp_facch)
 
-            # TCH9: demod + chained 9k6 decode
+            # TCH9: demod + chained 9k6 decode (one batched Viterbi
+            # over all F frames; only the deinterleaver ring scans)
             w9 = windows(c2, g_9)
             r9 = modem.demod(BU.NT9, w9, sps=4, win=W3)
-            def t9(il_c, eb):
-                il2, l2, _sa, _st, met = jax.vmap(
-                    lambda i, e: tch9.decode(e, tch9.MODE_9K6, i))(il_c, eb)
-                return il2, l2
-            il, l2_t9 = jax.lax.scan(t9, il, r9.ebits)
+            il, l2_t9, _sa, _st, _met = tch9.decode_frames(
+                r9.ebits, tch9.MODE_9K6, il)
             ok = jnp.where(first, 0,
                            jnp.sum(l2_t9[:, seed_j] != exp_csd))
             n_bad += ok

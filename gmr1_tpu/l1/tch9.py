@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +75,39 @@ def encode(l2, mode: Tch9Mode, bits_sacch, bits_status,
         axis=-1,
     )
     return il, e
+
+
+def decode_frames(ebits, mode: Tch9Mode, il: InterleaverState, ciph=None):
+    """Decode F chained bursts (F, ..., 662) in one call.
+
+    Only the depth-3 deinterleaver ring is sequential across bursts —
+    the FEC is not — so the per-frame scan carries just the ring
+    (cheap gathers) and the Viterbi runs ONCE over the whole (F, ...)
+    batch.  On TPU this cuts the sequential trellis steps F-fold vs
+    per-burst decode (profiled 66%-of-step -> ~17% on the mixed
+    transponder workload).  `il` may carry leading batch dims matching
+    ebits[1:-1].  Returns (new_il, l2 (F, ..., l2_bytes), sacch,
+    status, metric) — identical to F sequential decode() calls."""
+    e = jnp.asarray(ebits, jnp.float32)
+    bits_status = (e[..., 52:56] < 0).astype(jnp.uint8)
+    my = jnp.concatenate([e[..., :52], e[..., 56:662]], axis=-1)
+    if ciph is not None:
+        my = my * (1.0 - 2.0 * jnp.asarray(ciph, jnp.float32))
+    bits_sacch = my[..., 52:62]
+    x = jnp.concatenate([my[..., :52], my[..., 62:658]], axis=-1)
+    epp = scramble.scramble_sbit(x)
+
+    deint = interleave.deinterleave_inter
+    for _ in range(il.buf.ndim - 2):
+        deint = jax.vmap(deint)
+    il, ep = jax.lax.scan(deint, il, epp)
+
+    c = interleave.deinterleave_intra(ep, IL_N)
+    full = viterbi.depuncture(c, _keep_idx(mode),
+                              mode.code.out_len(mode.conv_len))
+    u, metric = viterbi.decode(mode.code, full, mode.conv_len)
+    l2 = bits.pack_bits(u, mode.l2_bytes)
+    return il, l2, bits_sacch, bits_status, metric
 
 
 def decode(ebits, mode: Tch9Mode, il: InterleaverState, ciph=None):

@@ -73,20 +73,36 @@ def _inter_col_offsets(n: int, k: int) -> np.ndarray:
     return (np.arange(k, dtype=np.int32) % n).astype(np.int32)
 
 
+def _row_masks(st: InterleaverState):
+    """(N, K) bool: mask[r, jk] = (ring row for column jk) == r.
+
+    Column jk maps to ring row ((n - jk) mod N) (interleave.c:152).
+    With depth N tiny (3 for TCH9), expressing the ring access as N
+    masked merges beats the general gather/scatter XLA would otherwise
+    emit on TPU (the per-burst scatter dominated the whole TCH9 decode
+    before this — measured ~10 ms/step on the mixed transponder)."""
+    n_depth, k = st.buf.shape[-2:]
+    row = st.n % n_depth
+    rows = (row[..., None]
+            - jnp.asarray(_inter_col_offsets(n_depth, k))) % n_depth
+    return rows[..., None, :] == jnp.arange(n_depth)[:, None]
+
+
 def interleave_inter(st: InterleaverState, bits_ep):
     """One burst through the inter-burst interleaver.
 
     Returns (new_state, bits_epp).  Matches gmr1_interleave_inter
     (interleave.c:136-158): the current burst is written to ring row
     (n mod N); output column jk is read from ring row ((n - jk) mod N).
+    Supports leading batch dims on (st, bits_ep) together.
     """
-    n_depth, k = st.buf.shape
+    n_depth, k = st.buf.shape[-2:]
     row = st.n % n_depth
-    buf = jax.lax.dynamic_update_slice_in_dim(
-        st.buf, jnp.asarray(bits_ep, st.buf.dtype)[None, :], row, axis=0
-    )
-    rows = (row - jnp.asarray(_inter_col_offsets(n_depth, k))) % n_depth
-    out = buf[rows, jnp.arange(k)]
+    wmask = (jnp.arange(n_depth) == row[..., None])[..., None]  # (...,N,1)
+    buf = jnp.where(wmask, jnp.asarray(bits_ep, st.buf.dtype)[..., None, :],
+                    st.buf)
+    out = jnp.sum(jnp.where(_row_masks(st), buf, 0),
+                  axis=-2).astype(st.buf.dtype)
     return InterleaverState(buf=buf, n=st.n + 1), out
 
 
@@ -97,12 +113,14 @@ def deinterleave_inter(st: InterleaverState, bits_epp):
     (interleave.c:168-190): input column jk is scattered to ring row
     ((n - jk) mod N); the output is ring row ((n+1) mod N), i.e. data
     assembled N-1 bursts ago.  Output is only valid once N bursts have
-    been absorbed.
+    been absorbed.  Supports leading batch dims on (st, bits_epp)
+    together.
     """
-    n_depth, k = st.buf.shape
-    row = st.n % n_depth
-    rows = (row - jnp.asarray(_inter_col_offsets(n_depth, k))) % n_depth
-    buf = st.buf.at[rows, jnp.arange(k)].set(jnp.asarray(bits_epp, st.buf.dtype))
+    n_depth, k = st.buf.shape[-2:]
+    buf = jnp.where(_row_masks(st),
+                    jnp.asarray(bits_epp, st.buf.dtype)[..., None, :],
+                    st.buf)
     out_row = (st.n + 1) % n_depth
-    out = jax.lax.dynamic_slice_in_dim(buf, out_row, 1, axis=0)[0]
+    omask = (jnp.arange(n_depth) == out_row[..., None])[..., None]
+    out = jnp.sum(jnp.where(omask, buf, 0), axis=-2).astype(st.buf.dtype)
     return InterleaverState(buf=buf, n=st.n + 1), out

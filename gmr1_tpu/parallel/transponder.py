@@ -270,15 +270,12 @@ class StreamingTransponder:
             em0 = dict(b=carry["ema_burst"], d=carry["ema_dkab"])
             em, (dk_bits, dk_found) = jax.lax.scan(dk_step, em0, wt)
 
-            # 4d. TCH9 with cross-frame/step deinterleaver chain
+            # 4d. TCH9 with cross-frame/step deinterleaver chain: one
+            # batched Viterbi over all F frames (only the ring scans)
             w9 = jnp.stack([window(bank_c, *g) for g in g_tch9], axis=0)
             r9 = modem.demod(BU.NT9, w9, sps=sps, win=w3)
-
-            def t9_step(il, eb):
-                il2, l2, _sa, _st, met = jax.vmap(
-                    lambda i, e: tch9.decode(e, tch9.MODE_9K6, i))(il, eb)
-                return il2, (l2, met)
-            il, (l2_t9, met9) = jax.lax.scan(t9_step, carry["il"], r9.ebits)
+            il, l2_t9, _sa, _st, met9 = tch9.decode_frames(
+                r9.ebits, tch9.MODE_9K6, carry["il"])
 
             n_bad = jax.lax.psum(jnp.sum(crcb), axis)
             carry_out = dict(halo=recv, ema_burst=em["b"],

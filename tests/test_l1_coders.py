@@ -170,3 +170,47 @@ def test_a5_keystream_properties(rng):
     # A5/0 = zeros
     z, _ = a5.cipher_stream(0, key, np.array([3], dtype=np.uint32), 16)
     assert np.all(np.array(z) == 0)
+
+
+def test_tch9_decode_frames_matches_sequential(rng):
+    """decode_frames (one batched Viterbi over F chained bursts) equals
+    F sequential decode() calls, including across the carry boundary
+    and with a batched interleaver state."""
+    from gmr1_tpu.l1 import tch9
+
+    F, B = 6, 3
+    il_e = [tch9.interleaver_init(dtype=np.uint8) for _ in range(B)]
+    ebs = np.zeros((F, B, 662), np.int8)
+    for b in range(B):
+        for f in range(F):
+            l2 = rng.integers(0, 256, 60, dtype=np.uint8)
+            il_e[b], e = tch9.encode(l2, tch9.MODE_9K6,
+                                     rng.integers(0, 2, 10).astype(np.uint8),
+                                     np.zeros(4, np.uint8), il_e[b])
+            ebs[f, b] = np.where(np.asarray(e) > 0, -120, 120)
+
+    # sequential reference (vmapped over the batch, frame by frame)
+    import jax
+    il_s = jax.vmap(lambda _: tch9.interleaver_init())(np.arange(B))
+    seq = []
+    for f in range(F):
+        il_s, l2, sa, stt, met = jax.vmap(
+            lambda i, e: tch9.decode(e, tch9.MODE_9K6, i))(il_s, ebs[f])
+        seq.append((np.asarray(l2), np.asarray(sa), np.asarray(met)))
+
+    # split into two chained decode_frames calls (carry across)
+    il_b = jax.vmap(lambda _: tch9.interleaver_init())(np.arange(B))
+    outs = []
+    for part in (ebs[:2], ebs[2:]):
+        il_b, l2, sa, stt, met = tch9.decode_frames(
+            part, tch9.MODE_9K6, il_b)
+        outs.append((np.asarray(l2), np.asarray(sa), np.asarray(met)))
+    l2_all = np.concatenate([o[0] for o in outs])
+    sa_all = np.concatenate([o[1] for o in outs])
+    met_all = np.concatenate([o[2] for o in outs])
+
+    for f in range(F):
+        np.testing.assert_array_equal(l2_all[f], seq[f][0])
+        np.testing.assert_allclose(sa_all[f], seq[f][1])
+        np.testing.assert_allclose(met_all[f], seq[f][2])
+    np.testing.assert_array_equal(np.asarray(il_b.buf), np.asarray(il_s.buf))
