@@ -12,7 +12,8 @@ L-band grid (1088 carriers), twice:
   bcch-only — bench_transponder.py: the round-1/2 headline (BCCH
       receive pipeline on every carrier every frame), kept for
       round-over-round comparability and gated against the previous
-      round's BENCH_r*.json (fail-soft: reported, not asserted).
+      round's BENCH_r*.json (HARD gate: a >5% drop on a like-for-like
+      workload exits nonzero with a "regressed" flag in the JSON).
 
 vs_baseline is the real-time ratio of the MIXED workload: the reference
 (osmo-gmr) is an offline single-threaded C decoder; real time for the
@@ -37,7 +38,9 @@ def _run(mod_main) -> dict:
     return json.loads(buf.getvalue().strip().splitlines()[-1])
 
 
-def _last_round_bcch() -> float | None:
+def _last_round() -> dict | None:
+    """Parsed JSON of the newest BENCH_r*.json (the round-over-round
+    comparison base)."""
     best = None
     for path in glob.glob("BENCH_r*.json"):
         m = re.search(r"BENCH_r(\d+)\.json", path)
@@ -47,21 +50,30 @@ def _last_round_bcch() -> float | None:
             with open(path) as f:
                 d = json.load(f)
             parsed = d.get("parsed", {})
-            if parsed.get("metric") in ("transponder_rx_throughput",):
-                val = float(parsed["value"])
-            elif "bcch_only_msps" in parsed:
-                val = float(parsed["bcch_only_msps"])
-            else:
-                continue
             n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, val)
+            if parsed and (best is None or n > best[0]):
+                best = (n, parsed)
         except Exception:
             continue
     return best[1] if best else None
 
 
+def _last_round_bcch(parsed: dict | None) -> float | None:
+    if not parsed:
+        return None
+    if parsed.get("metric") == "transponder_rx_throughput":
+        return float(parsed["value"])
+    if "bcch_only_msps" in parsed:
+        return float(parsed["bcch_only_msps"])
+    return None
+
+
+REGRESS_PCT = -5.0        # hard gate: fail on >5% round-over-round drop
+
+
 def main() -> None:
+    import sys
+
     import bench_mixed
     import bench_transponder
 
@@ -73,14 +85,34 @@ def main() -> None:
         "value": mixed["value"],
         "unit": mixed["unit"],
         "vs_baseline": mixed["vs_realtime"],
+        "workload": mixed.get("workload", ""),
         "bcch_only_msps": bcch["value"],
         "bcch_only_vs_baseline": bcch["vs_realtime"],
     }
-    last = _last_round_bcch()
-    if last:
-        out["bcch_only_vs_last_round_pct"] = round(
-            100.0 * (bcch["value"] - last) / last, 2)
+
+    # hard regression gate (VERDICT r03 weak #6): compare like-for-like
+    # vs the newest BENCH_r*.json and FAIL LOUD on a >5% drop.  The
+    # mixed number only gates when the recorded workload string matches
+    # (the workload definition may legitimately grow between rounds).
+    last = _last_round()
+    regressed = []
+    last_bcch = _last_round_bcch(last)
+    if last_bcch:
+        pct = 100.0 * (bcch["value"] - last_bcch) / last_bcch
+        out["bcch_only_vs_last_round_pct"] = round(pct, 2)
+        if pct < REGRESS_PCT:
+            regressed.append(f"bcch_only {pct:.1f}%")
+    if last and last.get("workload") == out["workload"] \
+            and last.get("value"):
+        pct = 100.0 * (mixed["value"] - last["value"]) / last["value"]
+        out["mixed_vs_last_round_pct"] = round(pct, 2)
+        if pct < REGRESS_PCT:
+            regressed.append(f"mixed {pct:.1f}%")
+    if regressed:
+        out["regressed"] = regressed
     print(json.dumps(out))
+    if regressed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

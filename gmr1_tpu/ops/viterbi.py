@@ -75,16 +75,20 @@ def decode(code: ConvCode, soft, in_len: int):
 
     _, _, sign_np = _acs_tables(code)
 
-    # TPU backends: VMEM-resident Pallas kernel (ops/pallas_viterbi.py)
-    # for LARGE trellises; bit-exact with the XLA path below
-    # (tests/test_conv.py::test_pallas_trellis_parity).  Measured on
-    # v5e: 2.7x for the 256-state K=9.  Small trellises keep the XLA
-    # scan: (a) the kernel's per-step loop overhead caps K=5 at ~2.0M
-    # bursts/s vs 1.7M for XLA — no real win; (b) TCH9's per-carrier
-    # deinterleaver chain VMAPS its decode, and a vmapped pallas_call
-    # lowers to one kernel launch per carrier (measured 12x slower on
-    # the mixed transponder workload).
-    if s_cnt >= 256 and jax.default_backend() in ("tpu", "axon"):
+    # TPU backends: VMEM-resident Pallas kernel (ops/pallas_viterbi.py),
+    # bit-exact with the XLA path below for integer-valued (sbit) soft
+    # inputs (tests/test_conv.py::test_pallas_trellis_parity).  Routed
+    # by trellis size and batch:
+    #   * the 256-state K=9 always (3.8x vs the XLA scan at B=2048);
+    #   * K=5/6/7 when the visible batch fills at least one 512-lane
+    #     tile — the wide-tile + unrolled-loop kernel form is ~2x the
+    #     XLA scan at transponder batch sizes, while tiny batches (the
+    #     per-carrier host-loop decodes, B ~ 1) stay on XLA: a vmapped
+    #     pallas_call lowers to one kernel launch per element (measured
+    #     12x slower on the mixed workload in that form).
+    batch = int(np.prod(batch_shape)) if batch_shape else 1
+    if jax.default_backend() in ("tpu", "axon") \
+            and (s_cnt >= 256 or batch >= 512):
         from .pallas_viterbi import decode_trellis
         sym = soft.reshape(-1, t_steps, n)
         bits, metric = decode_trellis(

@@ -197,6 +197,7 @@ def test_pallas_branch_filter_parity(rng):
         np.testing.assert_allclose(got16 / scale, ref / scale, atol=3e-2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("width", [3, 5])
 def test_wide_carrier_burst_e2e(rng, width):
     """Bit-exact L2 through width-3/5 PFB synthesizer recombination

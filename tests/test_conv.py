@@ -186,7 +186,12 @@ def test_pallas_trellis_parity(rng):
         bits = rng.integers(0, 2, (b, t_steps), dtype=np.uint8)
         enc = np.asarray(CV.encode(code, bits))
         soft = np.where(enc > 0, -127.0, 127.0).astype(np.float32)
-        soft += rng.normal(0, 40.0, soft.shape).astype(np.float32)
+        # integer-valued noise: the kernel's bf16-operand MXU dot is
+        # exact only on the sbit domain (integers in [-127, 127]) —
+        # which is what every L1 chain feeds it (modem.py:186)
+        soft = np.clip(np.round(
+            soft + rng.normal(0, 40.0, soft.shape)), -127, 127
+        ).astype(np.float32)
 
         want_bits, want_metric = VT.decode(code, soft, t_steps)
         _, _, sign = VT._acs_tables(code)

@@ -18,6 +18,9 @@ from gmr1_tpu.parallel import ShardedTransponder
 from gmr1_tpu.sdr import bursts as BU
 from gmr1_tpu.sdr import modem
 
+# heavy module-scoped capture fixtures: full tier only
+pytestmark = pytest.mark.slow
+
 FS = 1e6                       # -> M = 32 channels, no pre-resample
 CENTER = 1525e6 + 31250 * 512
 SPS = 4

@@ -18,6 +18,9 @@ from gmr1_tpu.sdr import bursts as BU
 from gmr1_tpu.sdr import fcch, modem
 from gmr1_tpu.ops import cplx
 
+# heavy module-scoped capture fixtures: full tier only
+pytestmark = pytest.mark.slow
+
 SPS = 4
 FRAME_SYMS = 24 * 39
 FRAME_LEN = FRAME_SYMS * SPS

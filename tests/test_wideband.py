@@ -20,7 +20,10 @@ from gmr1_tpu.sdr import fcch, modem
 from gmr1_tpu.ops import cplx
 
 from tests.test_receiver import (Capture, F0, FRAME_LEN, START, dkab_signal,
-                            imm_ass_l2, si1_l2)
+                                 imm_ass_l2, si1_l2)
+
+# heavy module-scoped capture fixtures: full tier only
+pytestmark = pytest.mark.slow
 
 SPS = 4
 FS = 500e3

@@ -49,18 +49,22 @@ bench("  deinterleave_inter scan F",
 bench("  deinterleave_intra", lambda x: interleave.deinterleave_intra(x, 81),
       c648)
 bench("  depuncture (scatter)",
-      lambda c: viterbi.depuncture(c, keep, 960), c648)
+      lambda c: viterbi.depuncture(c, keep, tch9.MODE_9K6.code.out_len(480)),
+      c648)
 bench("  viterbi K5_12 T=480 B=4352",
       lambda f: viterbi.decode(tch9.MODE_9K6.code, f, 480)[0], full)
 
 # small-trellis viterbi latencies at mixed-bench batch sizes
-fb = jnp.asarray(rng.integers(-127, 128, (M, 416)).astype(np.float32))
+fb = jnp.asarray(rng.integers(
+    -127, 128, (M, conv.K5_12.out_len(208))).astype(np.float32))
 bench("viterbi K5_12 T=208 B=1088 (bcch)",
       lambda f: viterbi.decode(conv.K5_12, f, 208)[0], fb)
-ft = jnp.asarray(rng.integers(-127, 128, (F, M, 96)).astype(np.float32))
+ft = jnp.asarray(rng.integers(
+    -127, 128, (F, M, conv.TCH3_K7.out_len(48))).astype(np.float32))
 bench("viterbi TCH3 K7 TB T=48 B=4352",
-      lambda f: viterbi.decode(conv.TCH3, f, 48)[0], ft)
-ff = jnp.asarray(rng.integers(-127, 128, (M, 368)).astype(np.float32))
+      lambda f: viterbi.decode(conv.TCH3_K7, f, 48)[0], ft)
+ff = jnp.asarray(rng.integers(
+    -127, 128, (M, conv.K5_14.out_len(92))).astype(np.float32))
 bench("viterbi K5_14 T=92 B=1088 (facch3)",
       lambda f: viterbi.decode(conv.K5_14, f, 92)[0], ff)
 

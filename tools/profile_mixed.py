@@ -1,7 +1,7 @@
 """Stage-level timing of the bench_mixed workload on the live chip.
 
 Times each stage of the mixed per-step workload in isolation (own jit,
-donated inputs, realistic shapes) so the optimization target is obvious.
+realistic shapes) so the optimization target is obvious.
 Not part of the bench contract; a scratch diagnostic.
 """
 from __future__ import annotations
