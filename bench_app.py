@@ -1,0 +1,325 @@
+"""APPLICATION benchmark: WidebandReceiver.run() wall-clock on a
+full-transponder synthetic capture.
+
+bench_mixed.py times the fixed-schedule device pipeline; THIS bench
+times the actual application — acquisition, the block-streamed SPMD
+ingest, the three batched demod phases, and the per-carrier host FSMs
+walking every result (the reference's entire deliverable is this loop,
+src/gmr1_rx.c:900-991).
+
+Capture: the full 34 MHz L-band grid with EVERY usable grid channel
+(~1064 ARFCNs) carrying a live GMR-1 downlink: FCCH every 8 frames,
+SI1 BCCH, a CCCH IMM.ASS activating TCH3, a FACCH3 ASS.CMD.1 handing
+off TCH9, then steady state with NT3 speech AND NT9 CSD bursts every
+frame on every carrier.  Carrier c carries payload stream c%4; the
+capture is synthesized as 4 baseband streams multiplied by 4
+"frequency combs" (each comb = sum of its carriers' phasors, periodic
+in exactly 1088 samples at 34 MHz -> one 1088-point IFFT), so whole-
+transponder synthesis costs 4 stream interps instead of 1064.
+
+Block layout (one TDMA 8-frame span == one 10.88 Msample block,
+exactly): [noise | prefix0 | prefix1 | S0 S1 S2 | S0 S1 S2 | ...].
+The steady-state period is 24 frames (LCM of the 8-frame schedule and
+the depth-3 TCH9 ring), so three distinct steady blocks cycle and host
+memory stays ~6 blocks regardless of capture length.
+
+Verified inside the run: every carrier acquired, SI1 bit-exact, all
+speech frames bit-exact vs the stream payloads, the FACCH3 ASS.CMD.1
+decoded (TCH9 activation), and the CSD/TCH9 burst count.  Steady-state
+TCH9 payloads are cipher-mismatched by construction (A5(fn) is not
+8-frame periodic) — identical device/host cost, content checked in the
+prefix + test suite instead.
+
+Prints ONE JSON line: application_msps (+ acquire_s, steady_msps,
+rtts_per_block, device_wait_share, frames).
+Usage: python bench_app.py [--cycles 3] [--fs 34e6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax-gmr1-bench")
+
+import numpy as np
+
+SPS = 4
+FRAME1 = 936                   # symbols per TDMA frame
+FRAME4 = FRAME1 * SPS
+F = 8                          # frames per block
+BB_BLOCK = F * FRAME4          # baseband samples per block (29952)
+F0 = 16                        # true fn of capture frame 0 (%8 == 0)
+NS = 4                         # payload streams
+PREFIX_BLOCKS = 2              # scripted frames 0..15
+STEADY_BLOCKS = 3              # 24-frame steady period
+
+
+def _rc(t, beta=0.35):
+    den = 1.0 - (2.0 * beta * t) ** 2
+    safe = np.where(np.abs(den) < 1e-8, 1.0, den)
+    out = np.sinc(t) * np.cos(np.pi * beta * t) / safe
+    return np.where(np.abs(den) < 1e-8, np.sinc(t) * np.pi / 4, out)
+
+
+def build_stream(rng, s):
+    """One payload stream's 4-sps baseband for frames 0..39 + truth."""
+    from gmr1_tpu.l1 import bcch, ccch, facch3, tch3, tch9
+    from gmr1_tpu.sdr import bursts as BU
+    from gmr1_tpu.sdr import fcch, modem
+    from tests.test_receiver import imm_ass_l2, si1_l2
+
+    n_frames = (PREFIX_BLOCKS + STEADY_BLOCKS) * F
+    bb = np.zeros(n_frames * FRAME4, np.complex64)
+    tn, tn9 = 6 + s, 12 + s
+
+    def place(k, slot, x1):
+        x1 = np.asarray(x1)
+        xc = x1[..., 0] + 1j * x1[..., 1]
+        nsym = xc.shape[-1]
+        t = (np.arange(nsym * SPS)[:, None]) / SPS - np.arange(nsym)[None, :]
+        sig = xc @ _rc(t).astype(np.float32).T
+        pos = k * FRAME4 + slot * 39 * SPS
+        bb[pos:pos + nsym * SPS] += sig
+
+    # FCCH every 8 frames (slots 0-2)
+    from gmr1_tpu.ops import cplx
+    chirp = cplx.to_complex(
+        np.asarray(fcch._chirp_np(fcch.FCCH, SPS, "dual"))) / np.sqrt(2)
+    for k in range(0, n_frames, 8):
+        pos = k * FRAME4
+        bb[pos:pos + len(chirp)] += chirp
+
+    # SI1 BCCH in the prefix (fn-coded, so prefix-only)
+    truth = dict(tn=tn, tn9=tn9, si1={}, speech=[], facch=None)
+    for k in (2, 10):
+        l2 = si1_l2(rng, F0 + k)
+        truth["si1"][F0 + k] = bytes(bytearray(l2))
+        place(k, 0, np.asarray(modem.mod(BU.BCCH, bcch.encode(l2))))
+
+    # CCCH IMM.ASS at k=3 (activates TCH3 on tn, dkab p unused)
+    ia = imm_ass_l2(rng, tn, 9)
+    place(3, 0, np.asarray(modem.mod(BU.DC6, ccch.encode(ia))))
+
+    # FACCH3 group k=4..7 carrying ASS.CMD.1 -> TCH9 on tn9
+    fl2 = rng.integers(0, 256, 10, dtype=np.uint8)
+    fl2[3], fl2[4] = 0x06, 0x2E
+    fl2[5] = (fl2[5] & 0xFC) | ((tn9 >> 3) & 0x03)
+    fl2[6] = (fl2[6] & 0x1F) | ((tn9 & 0x07) << 5)
+    fl2[9] &= 0xF0
+    truth["facch"] = bytes(bytearray(fl2))
+    fe = np.asarray(facch3.encode(fl2, np.zeros(32, np.uint8))).reshape(4, 104)
+    for bi, k in enumerate((4, 5, 6, 7)):
+        place(k, tn, np.asarray(modem.mod(BU.NT3_FACCH, fe[bi], sync_id=0)))
+
+    # NT3 speech from k=8, payload pair per k%8 (8-frame periodic)
+    pairs = [(rng.integers(0, 256, 10, dtype=np.uint8),
+              rng.integers(0, 256, 10, dtype=np.uint8)) for _ in range(8)]
+    truth["speech"] = [(bytes(f0), bytes(f1)) for f0, f1 in pairs]
+    enc = [np.asarray(modem.mod(
+        BU.NT3_SPEECH, tch3.encode(f0, f1, np.zeros(4, np.uint8))))
+        for f0, f1 in pairs]
+    for k in range(8, n_frames):
+        place(k, tn, enc[k % 8])
+
+    # NT9 TCH9 9k6 from k=8: payload period 8, ring phase period 3 ->
+    # burst sequence 24-frame periodic from k=16 (n%3 realigns)
+    il = tch9.interleaver_init(dtype=np.uint8)
+    csd = [rng.integers(0, 256, 60, dtype=np.uint8) for _ in range(8)]
+    for k in range(8, n_frames):
+        il, eb = tch9.encode(csd[k % 8], tch9.MODE_9K6,
+                             np.zeros(10, np.uint8), np.zeros(4, np.uint8),
+                             il)
+        place(k, tn9, np.asarray(modem.mod(BU.NT9, np.asarray(eb),
+                                           sync_id=1)))
+    return bb, truth
+
+
+from gmr1_tpu.rx.cfile import SampleSource
+
+
+class CycleSource(SampleSource):
+    """SampleSource cycling host blocks: O(6 blocks) memory total."""
+
+    def __init__(self, blocks, order):
+        self._blocks = blocks
+        self._order = order          # list of block indices
+        self._n = blocks[0].shape[0]
+        self._pos = 0
+        self.total = self._n * len(order)
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.empty((min(n, self.total - self._pos), 2), np.float32)
+        got = 0
+        while got < out.shape[0]:
+            bi, off = divmod(self._pos, self._n)
+            blk = self._blocks[self._order[bi]]
+            take = min(out.shape[0] - got, self._n - off)
+            out[got:got + take] = blk[off:off + take]
+            got += take
+            self._pos += take
+        return out
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fs", type=float, default=34e6)
+    ap.add_argument("--cycles", type=int, default=3,
+                    help="steady 3-block cycles (each = 0.96 s of capture)")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    if os.environ.get("GMR1_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from gmr1_tpu.channelizer import Channel, Channelizer
+    from gmr1_tpu.rx import gsmtap
+    from gmr1_tpu.rx.wideband import WidebandReceiver
+
+    fs = args.fs
+    center_arfcn = 544            # grid channels then map to ARFCN 12..1075
+    center = 1525e6 + 31250 * center_arfcn
+    chz = Channelizer(fs, center, sps=SPS)
+    m = chz.n_chans
+    assert chz.pre_resamp is None and chz.rotation == 0.0
+    n_block = int(round(F * FRAME4 * fs / (23400 * SPS)))
+    assert n_block % m == 0, (n_block, m)     # comb period divides block
+
+    rng = np.random.default_rng(0xA44)
+
+    # ---- payload streams + frequency combs -------------------------------
+    span = m // 2 - 12
+    arfcns = [center_arfcn + o for o in range(-span, span)]
+    t0 = time.perf_counter()
+    streams, truths = zip(*[build_stream(rng, s) for s in range(NS)])
+    combs = []
+    for s in range(NS):
+        spec = np.zeros(m, np.complex128)
+        for a in arfcns:
+            if a % NS == s:
+                spec[(a - center_arfcn) % m] = np.exp(
+                    2j * np.pi * rng.random())
+        combs.append((np.fft.ifft(spec) * m).astype(np.complex64))
+
+    # ---- synthesize the distinct wideband blocks -------------------------
+    n_bb = (PREFIX_BLOCKS + STEADY_BLOCKS) * BB_BLOCK
+    grid = np.arange(n_bb, dtype=np.float64)
+    ratio = (23400.0 * SPS) / fs
+
+    def wb_block(b):
+        """Capture block b (0 = first content block) from the streams."""
+        pos = (np.arange(n_block, dtype=np.float64) + b * n_block) * ratio
+        out = np.zeros(n_block, np.complex64)
+        for s in range(NS):
+            bbs = streams[s]
+            re = np.interp(pos, grid, bbs.real).astype(np.float32)
+            im = np.interp(pos, grid, bbs.imag).astype(np.float32)
+            comb = np.tile(combs[s], n_block // m)
+            out += (re + 1j * im) * comb
+        out += (rng.standard_normal(n_block)
+                + 1j * rng.standard_normal(n_block)).astype(np.complex64) \
+            * 0.01
+        return np.stack([out.real, out.imag], -1).astype(np.float32)
+
+    blocks = [np.stack([rng.standard_normal(n_block),
+                        rng.standard_normal(n_block)], -1)
+              .astype(np.float32) * 0.01]                 # block A: noise
+    blocks += [wb_block(b) for b in range(PREFIX_BLOCKS + STEADY_BLOCKS)]
+    order = [0, 1, 2] + [3, 4, 5] * args.cycles
+    src = CycleSource(blocks, order)
+    t_synth = time.perf_counter() - t0
+
+    # ---- run the application ---------------------------------------------
+    rx = WidebandReceiver(src, fs, center, sps=SPS, verbose=args.verbose)
+
+    # instrument device readbacks (the host<->device round trips)
+    real_get = jax.device_get
+    stats = dict(n=0, wait=0.0)
+
+    def counted_get(x):
+        t = time.perf_counter()
+        out = real_get(x)
+        stats["wait"] += time.perf_counter() - t
+        stats["n"] += 1
+        return out
+
+    jax.device_get = counted_get
+    try:
+        t0 = time.perf_counter()
+        rx.acquire()
+        t_acq = time.perf_counter() - t0
+        acq_rtts = stats["n"]
+        t0 = time.perf_counter()
+        n_frames = rx.run()
+        t_loop = time.perf_counter() - t0
+    finally:
+        jax.device_get = real_get
+
+    # ---- verify ------------------------------------------------------------
+    # unseeded edge channels may fire false FCCH candidates from
+    # adjacent-channel leakage (they then fail BCCH forever, like the
+    # reference's gates) — require every SEEDED carrier acquired and
+    # verify those; count the strays separately
+    found = {car.arfcn for car in rx.carriers}
+    missing = [a for a in arfcns if a not in found]
+    assert not missing, (len(missing), missing[:8])
+    n_false = len(found - set(arfcns))
+    n_carriers = len(arfcns)
+    bad = []
+    n_speech = n_csd = n_si1 = 0
+    for car in rx.carriers:
+        if car.arfcn not in set(arfcns):
+            continue
+        tr = truths[car.arfcn % NS]
+        si1 = {fn: l2 for t, fn, tn, l2 in car.frames if t == gsmtap.GMR1_BCCH}
+        if not si1 or any(tr["si1"].get(fn) != l2 for fn, l2 in si1.items()):
+            bad.append(("si1", car.arfcn))
+        n_si1 += len(si1)
+        fa = [l2 for t, _f, _t, l2 in car.frames
+              if t == (gsmtap.GMR1_TCH3 | gsmtap.GMR1_FACCH)]
+        if tr["facch"] not in fa:
+            bad.append(("facch", car.arfcn))
+        ok_pairs = {p for pair in tr["speech"] for p in pair}
+        got = car.speech
+        if not got or any(p not in ok_pairs for p in got):
+            bad.append(("speech", car.arfcn))
+        n_speech += len(got)
+        n_csd += len(car.csd)
+    assert not bad, (len(bad), bad[:8])
+    blocks_done = src.total // n_block
+    assert n_speech >= n_carriers * (blocks_done - 4) * F, \
+        (n_speech, n_carriers, blocks_done)
+    assert n_csd >= n_carriers * (blocks_done - 4) * F, (n_csd, n_carriers)
+
+    total = src.total
+    msps = total / (t_acq + t_loop) / 1e6
+    steady = total / t_loop / 1e6
+    rtts = (stats["n"] - acq_rtts) / max(1, blocks_done)
+    print(json.dumps({
+        "metric": "application_rx_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamples/s wideband (WidebandReceiver.run wall-clock)",
+        "vs_realtime": round(msps / (fs / 1e6), 2),
+        "steady_msps": round(steady, 2),
+        "steady_vs_realtime": round(steady / (fs / 1e6), 2),
+        "acquire_s": round(t_acq, 2),
+        "synth_s": round(t_synth, 2),
+        "n_carriers": n_carriers,
+        "false_fcch_carriers": n_false,
+        "blocks": blocks_done,
+        "rtts_per_block": round(rtts, 1),
+        "device_wait_share": round(stats["wait"] / (t_acq + t_loop), 3),
+        "frames_decoded": n_frames,
+        "speech_frames": n_speech,
+        "csd_bursts": n_csd,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,15 +6,21 @@ measures the BCCH-only approximation.  This bench runs the REAL mixed
 per-carrier workload on every carrier of the 34 MHz grid, every TDMA
 frame:
 
-  per step (F=4 frames, one compiled lax.scan over K steps):
+  per step (F=8 frames = one application block, one compiled
+  lax.scan over K steps) — the SAME per-block device graph the
+  WidebandReceiver dispatches (rx/wideband.py _phase_ctrl/_phase_tch3/
+  _phase_tch9, windows included):
     PFB analysis (Pallas slab path) of the whole band
     per carrier:
-      BCCH   frame 2: demod + Viterbi + CRC16            (bcch.c:84)
+      BCCH   the sirfn%8==2 frame, search win 20*sps: demod +
+             Viterbi + CRC16                             (bcch.c:84)
+      CCCH   the six sirfn%8 not-in {0,2} frames, win 10*sps: DC6
+             demod + decode + CRC16                      (gmr1_rx.c:800)
       TCH3   speech slot, every frame: window energy, DKAB demod,
              FACCH/speech burst-type detect, NT3-speech demod,
              TCH3 decode (K=7 tail-biting)               (gmr1_rx.c:531)
-      FACCH3 second TCH3 slot, every frame: NT3-FACCH demod; the
-             4-burst group decodes once per step (K=5 r=1/4 + CRC16)
+      FACCH3 second TCH3 slot, every frame: NT3-FACCH demod; the two
+             4-burst groups decode each step (K=5 r=1/4 + CRC16)
       TCH9   NT9 slot, every frame: demod + 9k6 decode with the
              depth-3 inter-burst deinterleaver chained across frames
              AND scan steps                              (tch9.c:109)
@@ -44,18 +50,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 FRAME_OUT = 936 * 4
-WIN = 16                  # BCCH residual search window
+WIN = 20 * 4              # BCCH search window (the app's, wideband.py)
+WINC = 10 * 4             # CCCH search window (the app's)
 W3 = 6                    # TCH slot search window (sps + sps//2)
 TN_S, TN_F, TN9 = 6, 9, 12
+CCCH_FRAMES = (1, 3, 4, 5, 6, 7)   # sirfn%8 not in {0, 2}
 DKP = 9
-F = 4                     # TDMA frames per step
+F = 8                     # TDMA frames per step = one app block
 SEED_STEP = 131
 
 
 def synth_carrier(rng, truth, fs):
     """One seed carrier's 4-sps baseband for F frames, then -> fs."""
     from gmr1_tpu.channelizer.arfcn import BASE_SYMRATE
-    from gmr1_tpu.l1 import bcch, facch3, tch3, tch9
+    from gmr1_tpu.l1 import bcch, ccch, facch3, tch3, tch9
     from gmr1_tpu.ops import cplx
     from gmr1_tpu.sdr import bursts as BU
     from gmr1_tpu.sdr import modem
@@ -78,6 +86,9 @@ def synth_carrier(rng, truth, fs):
         s4[pos:pos + nsym * 4] += sig
 
     place(2, 0, modem.mod(BU.BCCH, bcch.encode(truth["bcch"][None]))[0])
+    for j, f in enumerate(CCCH_FRAMES):
+        place(f, 0, modem.mod(
+            BU.DC6, ccch.encode(truth["ccch"][j][None]))[0])
     for f in range(F):
         e = tch3.encode(truth["sf0"][f], truth["sf1"][f],
                         np.zeros(4, np.uint8))
@@ -85,7 +96,8 @@ def synth_carrier(rng, truth, fs):
     fe = np.asarray(facch3.encode(truth["facch"],
                                   np.zeros(32, np.uint8))).reshape(4, 104)
     for f in range(F):
-        place(f, TN_F, modem.mod(BU.NT3_FACCH, fe[f][None], sync_id=0)[0])
+        place(f, TN_F, modem.mod(BU.NT3_FACCH, fe[f % 4][None],
+                                 sync_id=0)[0])
     il = tch9.interleaver_init(dtype=np.uint8)
     # two encoder passes so the ring is in the same steady state the
     # scan sees when the same block repeats every step
@@ -110,7 +122,7 @@ def synth_carrier(rng, truth, fs):
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fs", type=float, default=34e6)
-    ap.add_argument("--k", type=int, default=8, help="scan steps per launch")
+    ap.add_argument("--k", type=int, default=4, help="scan steps per launch")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
@@ -126,7 +138,7 @@ def main(argv=None) -> None:
 
     from gmr1_tpu.channelizer import Channel, Channelizer
     from gmr1_tpu.channelizer.arfcn import BASE_SYMRATE
-    from gmr1_tpu.l1 import bcch, facch3, tch3, tch9
+    from gmr1_tpu.l1 import bcch, ccch, facch3, tch3, tch9
     from gmr1_tpu.ops import cplx
     from gmr1_tpu.sdr import bursts as BU
     from gmr1_tpu.sdr import dkab, modem
@@ -152,6 +164,8 @@ def main(argv=None) -> None:
     for a in arfcns:
         tr = dict(
             bcch=rng.integers(0, 256, 24, dtype=np.uint8),
+            ccch=rng.integers(0, 256, (len(CCCH_FRAMES), 24),
+                              dtype=np.uint8),
             sf0=rng.integers(0, 256, (F, 10), dtype=np.uint8),
             sf1=rng.integers(0, 256, (F, 10), dtype=np.uint8),
             facch=rng.integers(0, 256, 10, dtype=np.uint8),
@@ -193,6 +207,7 @@ def main(argv=None) -> None:
             out.append((k_min, jnp.asarray(wmat)))
         return out
     g_bcch = geoms(0, BU.BCCH.len_syms, WIN, [2])
+    g_ccch = geoms(0, BU.DC6.len_syms, WINC, CCCH_FRAMES)
     g_s = geoms(TN_S, BU.NT3_SPEECH.len_syms, W3, range(F))
     g_f = geoms(TN_F, BU.NT3_FACCH.len_syms, W3, range(F))
     g_9 = geoms(TN9, BU.NT9.len_syms, W3, range(F))
@@ -210,6 +225,8 @@ def main(argv=None) -> None:
 
     # --- expected values (steady state; device constants) ---------------
     exp_bcch = jnp.asarray(np.stack([tr["bcch"] for tr in truths]))
+    exp_ccch = jnp.asarray(np.stack([tr["ccch"] for tr in truths],
+                                    axis=1))          # (NC, S, 24)
     exp_sf0 = jnp.asarray(np.stack([tr["sf0"] for tr in truths], axis=1))
     exp_sf1 = jnp.asarray(np.stack([tr["sf1"] for tr in truths], axis=1))
     exp_facch = jnp.asarray(np.stack([tr["facch"] for tr in truths]))
@@ -247,12 +264,19 @@ def main(argv=None) -> None:
             il, first, n_bad = carry
             c2 = block_packed(z)
 
-            # BCCH (frame 2)
+            # BCCH (the sirfn%8==2 frame, app window)
             wb_ = windows(c2, g_bcch)[0]
             rb = modem.demod(BU.BCCH, wb_, sps=4, win=WIN)
             l2b, crcb, _ = bcch.decode(rb.ebits)
             n_bad += jnp.sum(crcb[seed_j])
             n_bad += jnp.sum(l2b[seed_j] != exp_bcch)
+
+            # CCCH (the six sirfn%8 not-in {0,2} frames, app window)
+            wc_ = windows(c2, g_ccch)                  # (NC, M, n, 2)
+            rc = modem.demod(BU.DC6, wc_, sps=4, win=WINC)
+            l2c, crcc, _ = ccch.decode(rc.ebits)
+            n_bad += jnp.sum(crcc[:, seed_j])
+            n_bad += jnp.sum(l2c[:, seed_j] != exp_ccch)
 
             # TCH3 speech slot: energy + DKAB + detect + demod + decode
             # (burst-type detect reuses the demod correlations — the
@@ -270,13 +294,15 @@ def main(argv=None) -> None:
             n_bad += jnp.sum(f1[:, seed_j] != exp_sf1)
             n_bad += jnp.sum(rd.found[:, seed_j])      # speech != DKAB
 
-            # FACCH3 slot: demod every frame, one 4-burst group decode
+            # FACCH3 slot: demod every frame, two 4-burst group
+            # decodes per 8-frame block
             wf = windows(c2, g_f)
             rf = modem.demod(BU.NT3_FACCH, wf, sps=4, win=W3)
-            grp = jnp.moveaxis(rf.ebits, 0, 1).reshape(m, 4 * 104)
+            grp = jnp.moveaxis(rf.ebits.reshape(2, 4, m, 104),
+                               2, 0).reshape(m, 2, 4 * 104)
             l2f, _sb2, badf, _mf = facch3.decode(grp)
             n_bad += jnp.sum(badf[seed_j])
-            n_bad += jnp.sum(l2f[seed_j] != exp_facch)
+            n_bad += jnp.sum(l2f[seed_j] != exp_facch[:, None])
 
             # TCH9: demod + chained 9k6 decode (one batched Viterbi
             # over all F frames; only the deinterleaver ring scans)
@@ -314,9 +340,11 @@ def main(argv=None) -> None:
         "value": round(msps, 3),
         "unit": "Msamples/s wideband",
         "n_carriers": m,
-        "workload": "BCCH + TCH3(speech+DKAB+detect) + FACCH3 + TCH9/9k6"
-                    " per carrier per frame",
-        "bursts_per_s": round(3.25 * F * m * args.k * args.iters / dt),
+        "workload": "app block graph: BCCH(1/8,win80) + CCCH(6/8,win40)"
+                    " + TCH3(speech+DKAB+detect) + FACCH3 + TCH9/9k6"
+                    " per carrier",
+        "bursts_per_s": round((7 / 8 + 3) * F * m * args.k
+                              * args.iters / dt),
         "vs_realtime": round(msps / 34.0, 2),
     }))
 

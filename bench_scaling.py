@@ -3,10 +3,9 @@
 BASELINE.md's north star includes ">80% scaling efficiency at N>=2".
 Real multi-chip hardware is not available in this environment (one
 tunneled chip), so this measures the SPMD program itself on the virtual
-CPU mesh: weak scaling 1 -> 2 -> 4 -> 8 devices of the full
-StreamingTransponder step (PFB analysis + ppermute halo + all_to_all
-reshard + carrier-parallel BCCH/TCH3/DKAB/TCH9 demod/decode with
-carried state).
+CPU mesh: weak scaling of the full StreamingTransponder step (PFB
+analysis + ppermute halo + bf16 all_to_all reshard + carrier-parallel
+BCCH/TCH3/DKAB/TCH9 demod/decode with carried state).
 
 Per-device work is constant by construction: each device owns a fixed
 n_local time block (2 TDMA frames of wideband input); the carrier axis
@@ -14,21 +13,27 @@ splits M ways across D devices while the frame axis grows D ways, so
 demod/decode FLOPs per device stay constant and only the collectives
 (halo ppermute + bank all_to_all) grow with D.
 
-Honest-efficiency note: the host has C physical cores (C=2 here), so D
-virtual devices TIMESHARE C cores and raw T(1)/T(D) undercounts badly
-for D > C.  Two numbers are reported:
+Measurement protocol (fixes round 3's normalization problem): every
+device count runs in its own SUBPROCESS pinned with `taskset` to
+min(D, C) physical cores, so each virtual device gets at most one core
+and the D=1 baseline cannot borrow the whole machine's threads.  With
+C physical cores:
 
-  eff_raw(D)   = T(1) / T(D)                      (ideal on D real chips)
-  eff_cores(D) = T(1) * D / (T(D) * min(D, C))    (normalized to the
-                 physically available concurrency; this is the number
-                 comparable to a real pod's weak-scaling efficiency)
+  D <= C:  eff(D) = T(1 on 1 core) / T(D on D cores)
+           — true weak scaling at constant per-device resources;
+           this is the number BASELINE's ">80% at N>=2" gates on.
+  D > C:   the D devices TIMESHARE C cores; eff_cores normalizes by
+           the oversubscription (T1 * D / (T(D) * C)) and is reported
+           as supporting evidence only, clearly labeled.
 
-plus the analytically known ICI bytes/step of the program
-(StreamingTransponder.ici_bytes_per_step).
+The analytically known per-device ICI bytes/step of the program
+(StreamingTransponder.ici_bytes_per_step — bf16 reshard) is reported
+alongside.
 
 Writes SCALING_rNN.json-style output to stdout (one JSON line last).
 
 Usage: python bench_scaling.py [--steps 4] [--fper 2]
+       python bench_scaling.py --single D   (internal: one pinned run)
 """
 
 from __future__ import annotations
@@ -36,17 +41,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 
-def main(argv=None) -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4,
-                    help="timed steps per device count")
-    ap.add_argument("--fper", type=int, default=2,
-                    help="TDMA frames per device per step")
-    args = ap.parse_args(argv)
-
+def run_single(d: int, steps: int, fper: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax-gmr1-tests")
@@ -66,55 +66,89 @@ def main(argv=None) -> None:
     from gmr1_tpu.parallel.transponder import StreamingTransponder
 
     assert jax.devices()[0].platform == "cpu"
-    n_cores = os.cpu_count() or 1
     rng = np.random.default_rng(0x5CA1)
 
     chz = Channelizer(1e6, 1525e6 + 31250 * 512, sps=4)
+    mesh = Mesh(np.asarray(jax.devices()[:d]), ("dev",))
+    st = StreamingTransponder(chz, mesh, frames=fper * d,
+                              burst_pos=60, tn_tch=6, tn_tch9=12,
+                              bcch_frame=min(2, fper * d - 1))
+    x = rng.standard_normal((d * st.n_local, 2)).astype(np.float32) * 1e-3
+    xs = st.shard_input(x)
+    carry = st.carry_init()
+    # two warmups: the first compiles for the host-replicated initial
+    # carry, the second for the steady-state device-sharded carry
+    out, carry = st.step(xs, carry)
+    jax.block_until_ready(out)
+    out, carry = st.step(xs, carry)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        out, carry = st.step(xs, carry)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    print(json.dumps({
+        "d": d,
+        "t_step": float(np.median(times)),
+        "t_min": float(min(times)),
+        "samples_per_step": int(d * st.n_local),
+        "ici_bytes_per_step": int(st.ici_bytes_per_step),
+    }))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4,
+                    help="timed steps per device count")
+    ap.add_argument("--fper", type=int, default=2,
+                    help="TDMA frames per device per step")
+    ap.add_argument("--single", type=int, default=0,
+                    help="internal: run one pinned measurement")
+    args = ap.parse_args(argv)
+
+    if args.single:
+        run_single(args.single, args.steps, args.fper)
+        return
+
+    n_cores = os.cpu_count() or 1
     results = {}
     for d in (1, 2, 4, 8):
-        mesh = Mesh(np.asarray(jax.devices()[:d]), ("dev",))
-        st = StreamingTransponder(chz, mesh, frames=args.fper * d,
-                                  burst_pos=60, tn_tch=6, tn_tch9=12,
-                                  bcch_frame=min(2, args.fper * d - 1))
-        x = rng.standard_normal(
-            (d * st.n_local, 2)).astype(np.float32) * 1e-3
-        xs = st.shard_input(x)
-        carry = st.carry_init()
-        # two warmups: the first compiles for the host-replicated initial
-        # carry, the second for the steady-state device-sharded carry
-        out, carry = st.step(xs, carry)
-        jax.block_until_ready(out)
-        out, carry = st.step(xs, carry)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(args.steps):
-            t0 = time.perf_counter()
-            out, carry = st.step(xs, carry)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        results[d] = dict(
-            t_step=float(np.median(times)),
-            samples_per_step=int(d * st.n_local),
-            ici_bytes_per_step=int(st.ici_bytes_per_step))
-        print(f"D={d}: t={results[d]['t_step']:.3f}s "
-              f"({min(times):.3f}..{max(times):.3f}) "
-              f"ici={st.ici_bytes_per_step / 1e6:.2f} MB/step", flush=True)
+        cores = min(d, n_cores)
+        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
+               sys.executable, os.path.abspath(__file__),
+               "--single", str(d), "--steps", str(args.steps),
+               "--fper", str(args.fper)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr)
+            raise RuntimeError(f"D={d} run failed")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["cores"] = cores
+        results[d] = r
+        print(f"D={d} on {cores} core(s): t={r['t_step']:.3f}s "
+              f"ici={r['ici_bytes_per_step'] / 1e6:.2f} MB/step", flush=True)
 
     t1 = results[1]["t_step"]
     for d, r in results.items():
         r["eff_raw"] = round(t1 / r["t_step"], 4)
-        r["eff_cores"] = round(t1 * d / (r["t_step"] * min(d, n_cores)), 4)
+        r["eff_cores"] = round(t1 * d / (r["t_step"] * r["cores"]), 4)
 
     print(json.dumps({
         "metric": "multichip_weak_scaling",
         "workload": "StreamingTransponder step "
-                    f"({args.fper} frames/device, M={chz.n_chans} carriers)",
+                    f"({args.fper} frames/device, M=32 carriers)",
+        "protocol": "each D pinned to min(D, cores) cores via taskset; "
+                    "D=1 baseline runs on ONE core so every device has "
+                    "constant resources (true weak scaling for D<=cores)",
         "n_cores_physical": n_cores,
         "per_device": results,
-        "eff_cores_at_2": results[2]["eff_cores"],
+        "eff_at_2": results[2]["eff_cores"],
         "eff_cores_at_8": results[8]["eff_cores"],
-        "note": "virtual CPU mesh; eff_cores normalizes D virtual devices "
-                "timesharing the physical cores (see module doc)",
+        "note": "D > cores points timeshare the physical cores and are "
+                "supporting evidence only (eff_cores normalizes the "
+                "oversubscription)",
     }))
 
 

@@ -77,7 +77,8 @@ def encode(l2, mode: Tch9Mode, bits_sacch, bits_status,
     return il, e
 
 
-def decode_frames(ebits, mode: Tch9Mode, il: InterleaverState, ciph=None):
+def decode_frames(ebits, mode: Tch9Mode, il: InterleaverState, ciph=None,
+                  valid=None):
     """Decode F chained bursts (F, ..., 662) in one call.
 
     Only the depth-3 deinterleaver ring is sequential across bursts —
@@ -86,8 +87,12 @@ def decode_frames(ebits, mode: Tch9Mode, il: InterleaverState, ciph=None):
     batch.  On TPU this cuts the sequential trellis steps F-fold vs
     per-burst decode (profiled 66%-of-step -> ~17% on the mixed
     transponder workload).  `il` may carry leading batch dims matching
-    ebits[1:-1].  Returns (new_il, l2 (F, ..., l2_bytes), sacch,
-    status, metric) — identical to F sequential decode() calls."""
+    ebits[1:-1].  `valid` (F, ...) bool gates the ring per burst: where
+    False the ring state is untouched and that output slot is garbage
+    — the batched form of the receiver's "only feed TCH9 bursts"
+    walk (gmr1_rx.c:321-347).  Returns (new_il, l2 (F, ..., l2_bytes),
+    sacch, status, metric) — identical to sequential decode() calls on
+    the valid bursts."""
     e = jnp.asarray(ebits, jnp.float32)
     bits_status = (e[..., 52:56] < 0).astype(jnp.uint8)
     my = jnp.concatenate([e[..., :52], e[..., 56:662]], axis=-1)
@@ -100,7 +105,12 @@ def decode_frames(ebits, mode: Tch9Mode, il: InterleaverState, ciph=None):
     deint = interleave.deinterleave_inter
     for _ in range(il.buf.ndim - 2):
         deint = jax.vmap(deint)
-    il, ep = jax.lax.scan(deint, il, epp)
+    if valid is None:
+        il, ep = jax.lax.scan(deint, il, epp)
+    else:
+        il, ep = jax.lax.scan(
+            lambda st, xv: deint(st, xv[0], xv[1]), il,
+            (epp, jnp.asarray(valid)))
 
     c = interleave.deinterleave_intra(ep, IL_N)
     full = viterbi.depuncture(c, _keep_idx(mode),

@@ -106,7 +106,7 @@ def interleave_inter(st: InterleaverState, bits_ep):
     return InterleaverState(buf=buf, n=st.n + 1), out
 
 
-def deinterleave_inter(st: InterleaverState, bits_epp):
+def deinterleave_inter(st: InterleaverState, bits_epp, valid=None):
     """One burst through the inter-burst de-interleaver.
 
     Returns (new_state, bits_ep).  Matches gmr1_deinterleave_inter
@@ -115,6 +115,12 @@ def deinterleave_inter(st: InterleaverState, bits_epp):
     assembled N-1 bursts ago.  Output is only valid once N bursts have
     been absorbed.  Supports leading batch dims on (st, bits_epp)
     together.
+
+    `valid` (bool, batch-shaped) gates the ring: where False the state
+    is unchanged and the output is garbage (callers mask it) — the
+    batched form of "only feed the interleaver on real TCH9 bursts"
+    (the reference advances its ring only inside gmr1_tch9_decode,
+    rx path gmr1_rx.c:321-347).
     """
     n_depth, k = st.buf.shape[-2:]
     buf = jnp.where(_row_masks(st),
@@ -123,4 +129,9 @@ def deinterleave_inter(st: InterleaverState, bits_epp):
     out_row = (st.n + 1) % n_depth
     omask = (jnp.arange(n_depth) == out_row[..., None])[..., None]
     out = jnp.sum(jnp.where(omask, buf, 0), axis=-2).astype(st.buf.dtype)
-    return InterleaverState(buf=buf, n=st.n + 1), out
+    n2 = st.n + 1
+    if valid is not None:
+        v = jnp.asarray(valid)
+        buf = jnp.where(v[..., None, None], buf, st.buf)
+        n2 = jnp.where(v, n2, st.n)
+    return InterleaverState(buf=buf, n=n2), out

@@ -30,12 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..channelizer.pfb import Channelizer, _analyze_block
+from ..channelizer.pfb import Channelizer
 from ..l1 import bcch
 from ..ops import cplx
 from ..ops.interleave import InterleaverState
 from ..sdr import bursts as BU
 from ..sdr import modem
+from .ingest import halo_analyze_reshard, ici_bytes_per_step
 
 
 class ShardedTransponder:
@@ -78,23 +79,12 @@ class ShardedTransponder:
         halo_len = ana.p * ana.m
 
         def step(x_local):
-            # 1. halo exchange (overlap-save tail from left neighbour)
-            tail = x_local[-halo_len:]
-            halo = jax.lax.ppermute(
-                tail, axis,
-                perm=[(i, (i + 1) % d) for i in range(d)])
-            dev = jax.lax.axis_index(axis)
-            halo = jnp.where(dev == 0, jnp.zeros_like(halo), halo)
-            blk = jnp.concatenate([halo, x_local], axis=0)
-
-            # 2. local PFB analysis (time shard)
-            bank = _analyze_block(blk, ana.h_poly, ana.m, ana.p, ana.hop)
-
-            # 3. reshard: time-sharded (R_l, M, 2) -> carrier-sharded
-            bank_c = jax.lax.all_to_all(
-                bank, axis, split_axis=1, concat_axis=0, tiled=True)
-            # (R_total, M/D, 2) -> channels-major
-            bank_c = jnp.moveaxis(bank_c, 1, 0)       # (M/D, R, 2)
+            # 1-3. shared SPMD ingest (parallel/ingest.py): ppermute
+            # halo (zero left edge: one-shot form) + local analysis +
+            # bf16 all_to_all reshard to carrier-sharded rows
+            bank_c, _ = halo_analyze_reshard(
+                ana, axis, d, x_local,
+                jnp.zeros((halo_len, 2), jnp.float32))
 
             # 4. carrier-parallel RRC resample + demod + decode
             streams = rrc(bank_c)                      # (M/D, N_s, 2)
@@ -192,9 +182,7 @@ class StreamingTransponder:
         rrc = chz._rrc_resampler(1)
         halo_len = ana.p * ana.m
         self.halo_len = halo_len
-        self.ici_bytes_per_step = (
-            halo_len * 2 * 4
-            + 2 * r_local * m * 2 * 4 * (d - 1) // d)
+        self.ici_bytes_per_step = ici_bytes_per_step(ana, r_local, d)
 
         # static per-frame window geometry (phase-0 alignment, see doc)
         def geom(slot, blen_syms, w, frame_list=None):
@@ -227,21 +215,10 @@ class StreamingTransponder:
             return jnp.einsum("nk,mkp->mnp", wmat, xw)         # (Ml,n,2)
 
         def step(x_local, carry):
-            # 1. halo: left neighbour's tail; device 0 uses carried state
-            tail = x_local[-halo_len:]
-            recv = jax.lax.ppermute(
-                tail, axis, perm=[(i, (i + 1) % d) for i in range(d)])
-            dev = jax.lax.axis_index(axis)
-            halo = jnp.where(dev == 0, carry["halo"], recv)
-            blk = jnp.concatenate([halo, x_local], axis=0)
-
-            # 2. local PFB analysis (time shard)
-            bank = _analyze_block(blk, ana.h_poly, ana.m, ana.p, ana.hop)
-
-            # 3. reshard: time-sharded -> carrier-sharded
-            bank_c = jax.lax.all_to_all(
-                bank, axis, split_axis=1, concat_axis=0, tiled=True)
-            bank_c = jnp.moveaxis(bank_c, 1, 0)        # (M/D, R_tot, 2)
+            # 1-3. shared SPMD ingest (parallel/ingest.py): carried
+            # left-edge halo + analysis + bf16 all_to_all reshard
+            bank_c, recv = halo_analyze_reshard(
+                ana, axis, d, x_local, carry["halo"])
 
             # 4a. BCCH on the sirfn%8==2 frame
             wb = window(bank_c, *g_bcch)

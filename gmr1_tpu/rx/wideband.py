@@ -68,6 +68,7 @@ from ..channelizer import Channelizer
 from ..channelizer.arfcn import BASE_BANDWIDTH, _BASES
 from ..l1 import bcch, ccch, facch3, facch9, tch3, tch9
 from ..ops import cplx
+from ..ops.interleave import InterleaverState
 from ..sdr import bursts as BU
 from ..sdr import dkab, fcch, modem
 from ..sdr.defs import SYM_RATE
@@ -79,8 +80,14 @@ from .receiver import (ChanDesc, bcch_tdma_align, ccch_imm_ass_parse,
 ROWS_PER_FRAME = 2500     # bank rows per TDMA frame: 936*62500/23400
 
 
-def _pow2(n: int) -> int:
-    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+def _pad_cnt(n: int) -> int:
+    """Pad a batch count to a stable bucket: powers of two up to 128
+    (few recompiles while carrier sets grow), then multiples of 128
+    (lane-aligned; pow2 doubling would 2x the device work at
+    transponder scale — 1088 active carriers must not pad to 2048)."""
+    if n <= 128:
+        return 1 if n <= 1 else 1 << (n - 1).bit_length()
+    return -(-n // 128) * 128
 
 
 def _energy(w):
@@ -99,21 +106,36 @@ def _windows(streams, idx, wlen: int):
     return jax.vmap(one)(streams, idx)
 
 
+@partial(jax.jit, static_argnames=("wlen",))
+def _windows_rows(streams, rows, idx, wlen: int):
+    """streams (M, Ns, 2), rows (C,), idx (C, F) -> (C, F, wlen, 2).
+
+    ONE flat gather that fuses the carrier-row select with the window
+    slice — `streams[rows]` at transponder scale would copy the whole
+    ~0.5 GB stream buffer per phase call."""
+    m, t = streams.shape[0], streams.shape[1]
+    flat = streams.reshape(m * t, 2)
+    gi = (rows[:, None, None].astype(jnp.int32) * t
+          + idx[:, :, None] + jnp.arange(wlen, dtype=jnp.int32))
+    return flat[gi]
+
+
 # --------------------------------------------------------------------------
 # device phases (jitted once per (C, F) shape)
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("sps",))
-def _phase_ctrl(streams, idx_b, idx_c, freqs, sps: int):
-    """BCCH + CCCH demod/decode for every (carrier, frame) of a block."""
+def _phase_ctrl(streams, rows, idx_b, idx_c, freqs, sps: int):
+    """BCCH + CCCH demod/decode for the block's scheduled control
+    windows (packed: (C, NB) BCCH + (C, NC) CCCH pairs)."""
     win_b, win_c = 20 * sps, 10 * sps
     fs = -freqs[:, None]
 
-    wb = _windows(streams, idx_b, BU.BCCH.len_syms * sps + win_b)
+    wb = _windows_rows(streams, rows, idx_b, BU.BCCH.len_syms * sps + win_b)
     rb = modem.demod(BU.BCCH, wb, sps=sps, win=win_b, freq_shift=fs)
     l2b, badb, _ = bcch.decode(rb.ebits)
 
-    wc = _windows(streams, idx_c, BU.DC6.len_syms * sps + win_c)
+    wc = _windows_rows(streams, rows, idx_c, BU.DC6.len_syms * sps + win_c)
     rc = modem.demod(BU.DC6, wc, sps=sps, win=win_c, freq_shift=fs)
     l2c, badc, _ = ccch.decode(rc.ebits)
 
@@ -132,13 +154,13 @@ def _bt_from_demods(rf, rs, e_toa: float):
 
 
 @partial(jax.jit, static_argnames=("sps",))
-def _phase_tch3(streams, idx_t, p, freqs, sps: int):
+def _phase_tch3(streams, rows, idx_t, p, freqs, sps: int):
     """Full TCH3 slot path: energy, DKAB, type detect, FACCH + speech
     demod for every (carrier, frame) — demod everything, select on
     host (gmr1_rx.c:531-600 restructured)."""
     w = sps + sps // 2
     fs = -freqs[:, None]
-    wt = _windows(streams, idx_t, BU.NT3_FACCH.len_syms * sps + w)
+    wt = _windows_rows(streams, rows, idx_t, BU.NT3_FACCH.len_syms * sps + w)
     rd = dkab.demod(wt, sps, p[:, None], fs)
     rf = modem.demod(BU.NT3_FACCH, wt, sps=sps, win=w, freq_shift=fs)
     rs = modem.demod(BU.NT3_SPEECH, wt, sps=sps, win=w, freq_shift=fs)
@@ -148,13 +170,19 @@ def _phase_tch3(streams, idx_t, p, freqs, sps: int):
 
 
 @partial(jax.jit, static_argnames=("sps",))
-def _phase_tch9(streams, idx_t, freqs, sps: int):
+def _phase_tch9(streams, rows, idx_t, freqs, sps: int):
     """NT9 demod for every (carrier, frame) (gmr1_rx.c:276-353)."""
     w = sps + sps // 2
     fs = -freqs[:, None]
-    wt = _windows(streams, idx_t, BU.NT9.len_syms * sps + w)
+    wt = _windows_rows(streams, rows, idx_t, BU.NT9.len_syms * sps + w)
     r = modem.demod(BU.NT9, wt, sps=sps, win=w, freq_shift=fs)
     return dict(ebits=r.ebits, sid=r.sync_id)
+
+
+@jax.jit
+def _tch9_chain(ebits_f, il, ciph_f, valid_f):
+    """Chained 9k6 CSD decode over (F, C9, 662), rings gated per burst."""
+    return tch9.decode_frames(ebits_f, tch9.MODE_9K6, il, ciph_f, valid_f)
 
 
 # --------------------------------------------------------------------------
@@ -325,20 +353,15 @@ class WidebandReceiver:
         assert m % d == 0, (m, d)
         r_local = self.R_b // d
         assert self.R_b % d == 0 and r_local % 2 == 0, (self.R_b, d)
-        self.ici_bytes_per_block = (
-            halo_len * 2 * 4 + 2 * r_local * m * 2 * 4 * (d - 1) // d)
+        from ..parallel.ingest import halo_analyze_reshard, \
+            ici_bytes_per_step
+        self.ici_bytes_per_block = ici_bytes_per_step(ana, r_local, d)
 
         def sstep(x_local, halo_c, bank_hist, stream_tail):
-            tail = x_local[-halo_len:]
-            recv = jax.lax.ppermute(
-                tail, axis, perm=[(i, (i + 1) % d) for i in range(d)])
-            dev = jax.lax.axis_index(axis)
-            halo = jnp.where(dev == 0, halo_c, recv)
-            blk = jnp.concatenate([halo, x_local], axis=0)
-            bank = ana.block(blk)                   # (R_local, M, 2)
-            bank_c = jax.lax.all_to_all(
-                bank, axis, split_axis=1, concat_axis=0, tiled=True)
-            rows = jnp.moveaxis(bank_c, 1, 0)       # (M/D, R_b, 2)
+            # shared SPMD ingest (parallel/ingest.py): carried halo +
+            # analysis + bf16 all_to_all -> carrier-sharded rows
+            rows, recv = halo_analyze_reshard(ana, axis, d, x_local,
+                                              halo_c)  # (M/D, R_b, 2)
             rows_full = jnp.concatenate([bank_hist, rows], axis=1)
             stream = jnp.concatenate(
                 [stream_tail, resample(rows_full)], axis=1)
@@ -534,17 +557,19 @@ class WidebandReceiver:
         F = self.block_frames
         frame_len = self.frame_out
         buf0 = self._buf0
-        C = _pow2(len(active))
+        C = _pad_cnt(len(active))
         rows = [c.col for c in active]
         rows += [rows[0]] * (C - len(active))
         rows = np.asarray(rows, np.int32)
 
-        def mk_idx(cars, slot_of, win):
+        def mk_idx(cars, slot_of, win, frames=None):
             e_toa = win >> 1
-            idx = np.zeros((len(cars), F), np.int64)
+            nf = F if frames is None else frames.shape[1]
+            idx = np.zeros((len(cars), nf), np.int64)
             for i, car in enumerate(cars):
+                fr = np.arange(F) if frames is None else frames[i]
                 idx[i] = (car.cd.align - buf0 + sps * slot_of(car) * 39
-                          - e_toa + np.arange(F) * frame_len)
+                          - e_toa + fr * frame_len)
             return idx
 
         def pad_idx(idx, n, wlen):
@@ -552,14 +577,36 @@ class WidebandReceiver:
             idx = np.concatenate([idx, np.tile(idx[:1], (n - len(idx), 1))])
             return jnp.asarray(np.clip(idx, 0, hi).astype(np.int32))
 
-        # ---- phase 1: control channels --------------------------------
-        idx_b = mk_idx(active, lambda c: c.cd.sa_bcch_stn, 20 * sps)
-        idx_c = mk_idx(active, lambda c: c.cd.sa_bcch_stn, 10 * sps)
+        # ---- phase 1: control channels (packed schedule) ---------------
+        # the reference demodulates BCCH only on sirfn%8==2 frames and
+        # CCCH on sirfn%8 not in {0, 2} (gmr1_rx.c:867,800): pack just
+        # those (carrier, frame) pairs instead of demodulating every
+        # frame — at F=8 that is 1 BCCH + 6 CCCH windows per carrier
+        # per block, a ~45% cut of phase-1 device work
+        sched = [self._block_schedule(car, F) for car in active]
+        fr_b = [np.flatnonzero(s[0]) for s in sched]
+        fr_c = [np.flatnonzero(s[1]) for s in sched]
+        nb = max(1, max((len(x) for x in fr_b), default=1))
+        nc = max(1, max((len(x) for x in fr_c), default=1))
+
+        def pack_frames(fr, n):
+            out = np.zeros((len(active), n), np.int64)
+            for i, x in enumerate(fr):
+                if len(x):
+                    out[i, :len(x)] = x
+                    out[i, len(x):] = x[-1]     # dup pad, host ignores
+            return out
+        frames_b = pack_frames(fr_b, nb)
+        frames_c = pack_frames(fr_c, nc)
+        idx_b = mk_idx(active, lambda c: c.cd.sa_bcch_stn, 20 * sps,
+                       frames_b)
+        idx_c = mk_idx(active, lambda c: c.cd.sa_bcch_stn, 10 * sps,
+                       frames_c)
         freqs = np.asarray([c.cd.freq_err for c in active]
                            + [0.0] * (C - len(active)), np.float32)
-        st = self.streams[rows]
         ctrl = jax.device_get(_phase_ctrl(
-            st, pad_idx(idx_b, C, BU.BCCH.len_syms * sps + 20 * sps),
+            self.streams, jnp.asarray(rows),
+            pad_idx(idx_b, C, BU.BCCH.len_syms * sps + 20 * sps),
             pad_idx(idx_c, C, BU.DC6.len_syms * sps + 10 * sps),
             jnp.asarray(freqs), sps))
 
@@ -568,19 +615,22 @@ class WidebandReceiver:
         tch3_from: dict[int, int] = {}       # carrier -> first active f
         for i, car in enumerate(active):
             cd = car.cd
-            is_b, is_c = self._block_schedule(car, F)
+            is_b, is_c = sched[i]
+            bcol = {int(f): j for j, f in enumerate(fr_b[i])}
+            ccol = {int(f): j for j, f in enumerate(fr_c[i])}
             d_align, d_freq = 0, 0.0
             for f in range(F):
                 fn = cd.fn + f
                 if is_b[f]:
-                    car.bcch_energy = float(ctrl["eb"][i, f])
-                    if not ctrl["badb"][i, f]:
-                        l2 = ctrl["l2b"][i, f]
+                    jb = bcol[f]
+                    car.bcch_energy = float(ctrl["eb"][i, jb])
+                    if not ctrl["badb"][i, jb]:
+                        l2 = ctrl["l2b"][i, jb]
                         # closed-loop tracking (gmr1_rx.c:782-789),
                         # applied at the block boundary
-                        d_align = int(round(float(ctrl["toab"][i, f]))) \
+                        d_align = int(round(float(ctrl["toab"][i, jb]))) \
                             - (20 * sps >> 1)
-                        d_freq = float(ctrl["ferrb"][i, f])
+                        d_freq = float(ctrl["ferrb"][i, jb])
                         # SI1 realign sets cd.fn to THIS frame's true fn
                         # (and shifts cd.align for a BCCH slot change);
                         # rebase cd.fn to the block start.  sirfn%8
@@ -591,10 +641,11 @@ class WidebandReceiver:
                         cd.fn = fn - f
                         self._emit(car, gsmtap.GMR1_BCCH, fn,
                                    cd.sa_bcch_stn, l2)
-                if is_c[f] and not ctrl["badc"][i, f]:
+                if is_c[f] and not ctrl["badc"][i, ccol[f]]:
+                    jc = ccol[f]
                     min_e = car.bcch_energy / 2.0
-                    if not (float(ctrl["ec"][i, f]) < min_e):  # nan-safe
-                        l2 = ctrl["l2c"][i, f]
+                    if not (float(ctrl["ec"][i, jc]) < min_e):  # nan-safe
+                        l2 = ctrl["l2c"][i, jc]
                         if ccch_is_imm_ass(l2):
                             st3 = cd.tch3
                             st3.active = True
@@ -619,7 +670,7 @@ class WidebandReceiver:
         # ---- phase 2: TCH3 slot path ----------------------------------
         facch_jobs, speech_jobs = [], []
         if tch3_set:
-            C3 = _pow2(len(tch3_set))
+            C3 = _pad_cnt(len(tch3_set))
             rows3 = [c.col for c in tch3_set]
             rows3 += [rows3[0]] * (C3 - len(tch3_set))
             w = sps + sps // 2
@@ -630,7 +681,7 @@ class WidebandReceiver:
                 p3[i] = car.cd.tch3.p
                 fr3[i] = car.cd.freq_err
             t3 = jax.device_get(_phase_tch3(
-                self.streams[np.asarray(rows3, np.int32)],
+                self.streams, jnp.asarray(np.asarray(rows3, np.int32)),
                 pad_idx(idx_t, C3, BU.NT3_FACCH.len_syms * sps + w),
                 jnp.asarray(p3), jnp.asarray(fr3), sps))
             facch_jobs, speech_jobs = self._walk_tch3(
@@ -776,9 +827,10 @@ class WidebandReceiver:
 
     def _process_tch9(self, tch9_set, F: int, frame_len: int) -> None:
         sps = self.sps
-        C9 = _pow2(len(tch9_set))
+        n9 = len(tch9_set)
+        C9 = _pad_cnt(n9)
         rows9 = [c.col for c in tch9_set]
-        rows9 += [rows9[0]] * (C9 - len(tch9_set))
+        rows9 += [rows9[0]] * (C9 - n9)
         w = sps + sps // 2
         idx = np.zeros((C9, F), np.int64)
         fr9 = np.zeros(C9, np.float32)
@@ -787,46 +839,69 @@ class WidebandReceiver:
             idx[i] = (car.cd.align - buf0 + sps * car.cd.tch9.tn * 39
                       - (w >> 1) + np.arange(F) * frame_len)
             fr9[i] = car.cd.freq_err
-        idx[len(tch9_set):] = idx[0]
+        idx[n9:] = idx[0]
         hi = self.T_buf - (BU.NT9.len_syms * sps + w) - 1
         t9 = jax.device_get(_phase_tch9(
-            self.streams[np.asarray(rows9, np.int32)],
+            self.streams, jnp.asarray(np.asarray(rows9, np.int32)),
             jnp.asarray(np.clip(idx, 0, hi).astype(np.int32)),
             jnp.asarray(fr9), sps))
 
-        # FACCH9 decodes batch; TCH9 CSD chains the interleaver per
-        # carrier (inherently sequential, tch9.c:109)
-        f9_jobs = []
-        for i, car in enumerate(tch9_set):
-            for f in range(F):
-                fn = car.cd.fn + f
-                if fn < getattr(car.cd.tch9, "from_fn", 0):
-                    continue
-                if int(t9["sid"][i, f]) == 0:
-                    f9_jobs.append((car, fn, np.asarray(t9["ebits"][i, f])))
-        if f9_jobs:
-            eb = np.stack([e for _c, _f, e in f9_jobs])
-            ciph = np.stack([self._a5(fn, 658) for _c, fn, _e in f9_jobs])
+        # per-(carrier, frame) keystreams: dedup fns, ONE native batch
+        fns = np.asarray([[car.cd.fn + f for f in range(F)]
+                          for car in tch9_set], np.int64)       # (n9, F)
+        ufn, uinv = np.unique(fns & 0xFFFFFFFF, return_inverse=True)
+        ks_cf = native.a5_keystream_batch(
+            self.kc, ufn, 658)[uinv.reshape(n9, F)]             # (n9,F,658)
+
+        sid = np.asarray(t9["sid"][:n9])
+        started = fns >= np.asarray(
+            [getattr(c.cd.tch9, "from_fn", 0) for c in tch9_set])[:, None]
+        is_f9 = (sid == 0) & started
+        is_t9 = (sid == 1) & started
+
+        # FACCH9: one batched decode of every sync_id==0 burst
+        jf = np.argwhere(is_f9)
+        if len(jf):
+            eb = np.stack([np.asarray(t9["ebits"][i, f]) for i, f in jf])
+            ciph = np.stack([ks_cf[i, f] for i, f in jf])
             l2, _sa, _st, bad, _m = jax.device_get(
                 facch9.decode(jnp.asarray(eb), jnp.asarray(ciph)))
-            for k, (car, fn, _e) in enumerate(f9_jobs):
+            for k, (i, f) in enumerate(jf):
+                car = tch9_set[i]
                 if not bad[k]:
                     self._emit(car, gsmtap.GMR1_TCH9 | gsmtap.GMR1_FACCH,
-                               fn, car.cd.tch9.tn, l2[k])
-        for i, car in enumerate(tch9_set):
-            for f in range(F):
-                fn = car.cd.fn + f
-                if fn < getattr(car.cd.tch9, "from_fn", 0):
-                    continue
-                if int(t9["sid"][i, f]) != 1:
-                    continue
-                st9 = car.cd.tch9
-                st9.il, l2, _sa, _stb, _m = tch9.decode(
-                    np.asarray(t9["ebits"][i, f]), tch9.MODE_9K6, st9.il,
-                    self._a5(fn, 658))
-                l2 = np.asarray(l2)
-                self._emit(car, gsmtap.GMR1_TCH9, fn, st9.tn, l2)
-                car.csd.append(bytes(bytearray(l2)))
+                               int(fns[i, f]), car.cd.tch9.tn, l2[k])
+
+        # TCH9 CSD: ONE chained decode batched across carriers — the
+        # validity mask gates each carrier's depth-3 ring so only real
+        # TCH9 bursts advance it (identical to the sequential
+        # per-burst walk, gmr1_rx.c:321-347 / tch9.c:109)
+        if is_t9.any():
+            def padded(stack, fill_from=0):
+                return np.concatenate(
+                    [stack, np.tile(stack[fill_from:fill_from + 1],
+                                    (C9 - n9,) + (1,) * (stack.ndim - 1))]) \
+                    if C9 != n9 else stack
+            ilb = InterleaverState(
+                buf=jnp.asarray(padded(np.stack(
+                    [np.asarray(c.cd.tch9.il.buf) for c in tch9_set]))),
+                n=jnp.asarray(padded(np.stack(
+                    [np.asarray(c.cd.tch9.il.n) for c in tch9_set]))))
+            vmask = np.zeros((F, C9), bool)
+            vmask[:, :n9] = is_t9.T
+            il2, l2a, _sa, _stb, _m = jax.device_get(_tch9_chain(
+                jnp.asarray(np.moveaxis(np.asarray(t9["ebits"][:C9]), 0, 1)),
+                ilb, jnp.asarray(np.moveaxis(padded(ks_cf), 0, 1)),
+                jnp.asarray(vmask)))
+            for i, car in enumerate(tch9_set):
+                car.cd.tch9.il = InterleaverState(
+                    buf=il2.buf[i], n=il2.n[i])
+                for f in range(F):
+                    if is_t9[i, f]:
+                        l2 = np.asarray(l2a[f, i])
+                        self._emit(car, gsmtap.GMR1_TCH9, int(fns[i, f]),
+                                   car.cd.tch9.tn, l2)
+                        car.csd.append(bytes(bytearray(l2)))
 
     # --- wide carriers (width 2/3/5) --------------------------------------
 
@@ -874,14 +949,25 @@ class WidebandReceiver:
         # bound (align + (F+2) frames > n_stream)
         drain_max = self.T_tail // self.S_b + 3
         b = drained = 0
+        pending = None   # prefetched (streams, buf0, was_eof) of block b
         while True:
             narrow_done = all(c.done for c in self.carriers)
             if narrow_done and (not self._wide or self._eof):
                 break
             if self._eof and drained >= drain_max:
                 break
-            was_eof = self._eof
-            self._ingest_block(b)
+            if pending is None:
+                was_eof = self._eof
+                self._ingest_block(b)
+                pending = (self.streams, self._buf0, was_eof)
+            cur = pending
+            # one-block ingest prefetch: block b+1's H2D transfer and
+            # SPMD analysis dispatch NOW (JAX dispatch is async) and
+            # overlap with block b's demod phases + host FSM walk
+            eof_next = self._eof
+            self._ingest_block(b + 1)
+            pending = (self.streams, self._buf0, eof_next)
+            self.streams, self._buf0, was_eof = cur
             if was_eof:
                 drained += 1
             active = [c for c in self.carriers
