@@ -74,11 +74,13 @@ REGRESS_PCT = -5.0        # hard gate: fail on >5% round-over-round drop
 def main() -> None:
     import sys
 
+    import bench_app
     import bench_mixed
     import bench_transponder
 
     mixed = _run(bench_mixed.main)
     bcch = _run(bench_transponder.main)
+    app = _run(bench_app.main)
 
     out = {
         "metric": "transponder_rx_mixed_throughput",
@@ -88,6 +90,10 @@ def main() -> None:
         "workload": mixed.get("workload", ""),
         "bcch_only_msps": bcch["value"],
         "bcch_only_vs_baseline": bcch["vs_realtime"],
+        "application_msps": app["value"],
+        "application_vs_realtime": app["vs_realtime"],
+        "application_rtts_per_block": app["rtts_per_block"],
+        "application_device_wait_share": app["device_wait_share"],
     }
 
     # hard regression gate (VERDICT r03 weak #6): compare like-for-like

@@ -44,6 +44,12 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/jax-gmr1-bench")
+# most app-phase compiles are ~0.8 s — below the default 1 s persistence
+# threshold, so every run was recompiling ~200 graphs (~150 s)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import pickle
 
 import numpy as np
 
@@ -175,6 +181,8 @@ def main(argv=None) -> None:
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     if os.environ.get("GMR1_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
@@ -191,49 +199,84 @@ def main(argv=None) -> None:
     n_block = int(round(F * FRAME4 * fs / (23400 * SPS)))
     assert n_block % m == 0, (n_block, m)     # comb period divides block
 
-    rng = np.random.default_rng(0xA44)
-
-    # ---- payload streams + frequency combs -------------------------------
     span = m // 2 - 12
     arfcns = [center_arfcn + o for o in range(-span, span)]
     t0 = time.perf_counter()
-    streams, truths = zip(*[build_stream(rng, s) for s in range(NS)])
-    combs = []
-    for s in range(NS):
-        spec = np.zeros(m, np.complex128)
-        for a in arfcns:
-            if a % NS == s:
-                spec[(a - center_arfcn) % m] = np.exp(
-                    2j * np.pi * rng.random())
-        combs.append((np.fft.ifft(spec) * m).astype(np.complex64))
 
-    # ---- synthesize the distinct wideband blocks -------------------------
-    n_bb = (PREFIX_BLOCKS + STEADY_BLOCKS) * BB_BLOCK
-    grid = np.arange(n_bb, dtype=np.float64)
-    ratio = (23400.0 * SPS) / fs
-
-    def wb_block(b):
-        """Capture block b (0 = first content block) from the streams."""
-        pos = (np.arange(n_block, dtype=np.float64) + b * n_block) * ratio
-        out = np.zeros(n_block, np.complex64)
+    # capture synthesis is deterministic (fixed seed) and slow (~4 min
+    # at 34 MHz: build_stream runs eager L1 encodes): cache the
+    # distinct blocks + payload truths on disk
+    cache = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
+                         f"app-capture-v3-{int(fs)}.pkl")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            blocks, truths = pickle.load(f)
+    else:
+        rng = np.random.default_rng(0xA44)
+        streams, truths = zip(*[build_stream(rng, s) for s in range(NS)])
+        combs = []
         for s in range(NS):
-            bbs = streams[s]
-            re = np.interp(pos, grid, bbs.real).astype(np.float32)
-            im = np.interp(pos, grid, bbs.imag).astype(np.float32)
-            comb = np.tile(combs[s], n_block // m)
-            out += (re + 1j * im) * comb
-        out += (rng.standard_normal(n_block)
-                + 1j * rng.standard_normal(n_block)).astype(np.complex64) \
-            * 0.01
-        return np.stack([out.real, out.imag], -1).astype(np.float32)
+            spec = np.zeros(m, np.complex128)
+            for a in arfcns:
+                if a % NS == s:
+                    spec[(a - center_arfcn) % m] = np.exp(
+                        2j * np.pi * rng.random())
+            combs.append((np.fft.ifft(spec) * m).astype(np.complex64))
 
-    blocks = [np.stack([rng.standard_normal(n_block),
-                        rng.standard_normal(n_block)], -1)
-              .astype(np.float32) * 0.01]                 # block A: noise
-    blocks += [wb_block(b) for b in range(PREFIX_BLOCKS + STEADY_BLOCKS)]
+        n_bb = (PREFIX_BLOCKS + STEADY_BLOCKS) * BB_BLOCK
+        grid = np.arange(n_bb, dtype=np.float64)
+        ratio = (23400.0 * SPS) / fs
+
+        def wb_block(b):
+            """Capture block b (0 = first content block)."""
+            pos = (np.arange(n_block, dtype=np.float64)
+                   + b * n_block) * ratio
+            out = np.zeros(n_block, np.complex64)
+            for s in range(NS):
+                bbs = streams[s]
+                re = np.interp(pos, grid, bbs.real).astype(np.float32)
+                im = np.interp(pos, grid, bbs.imag).astype(np.float32)
+                comb = np.tile(combs[s], n_block // m)
+                out += (re + 1j * im) * comb
+            out += (rng.standard_normal(n_block)
+                    + 1j * rng.standard_normal(n_block)
+                    ).astype(np.complex64) * 0.01
+            return np.stack([out.real, out.imag], -1).astype(np.float32)
+
+        blocks = [np.stack([rng.standard_normal(n_block),
+                            rng.standard_normal(n_block)], -1)
+                  .astype(np.float32) * 0.01]             # block A: noise
+        blocks += [wb_block(b) for b in range(PREFIX_BLOCKS + STEADY_BLOCKS)]
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump((blocks, truths), f)
+        except OSError:
+            pass
     order = [0, 1, 2] + [3, 4, 5] * args.cycles
     src = CycleSource(blocks, order)
     t_synth = time.perf_counter() - t0
+
+    # ---- characterize the host<->device link -----------------------------
+    # this environment reaches the chip through a tunnel whose D2H path
+    # is ~1000x slower than a production PCIe/DMA attach (measured
+    # ~25 MB/s vs 1.5 GB/s H2D here), and the FIRST fetch of a process
+    # pays a one-time channel setup that has been observed at 1-6 min.
+    # Absorb the setup before timing and report the measured link so
+    # the wall-clock numbers carry their context.
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    _ = np.asarray(jax.device_put(np.zeros(16, np.float32)) + 1)
+    link_setup_s = time.perf_counter() - t0
+    probe = jax.device_put(np.zeros((1024 * 1024, 2), np.float32))
+    probe = probe + 1
+    jax.block_until_ready(probe)
+    t0 = time.perf_counter()
+    _ = np.asarray(probe)
+    d2h_mbps = 8.0 / (time.perf_counter() - t0)
+    x8 = np.zeros((1024 * 1024, 2), np.float32)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(x8))
+    h2d_mbps = 8.0 / (time.perf_counter() - t0)
 
     # ---- run the application ---------------------------------------------
     rx = WidebandReceiver(src, fs, center, sps=SPS, verbose=args.verbose)
@@ -318,6 +361,9 @@ def main(argv=None) -> None:
         "frames_decoded": n_frames,
         "speech_frames": n_speech,
         "csd_bursts": n_csd,
+        "sections_s": {k: round(v, 2) for k, v in sorted(rx.prof.items())},
+        "link": {"h2d_mbps": round(h2d_mbps), "d2h_mbps": round(d2h_mbps),
+                 "first_fetch_setup_s": round(link_setup_s, 1)},
     }))
 
 

@@ -55,6 +55,7 @@ TCH capture file is needed (gmr1_rx.c's argv tch.cfile).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -67,6 +68,7 @@ from .. import native
 from ..channelizer import Channelizer
 from ..channelizer.arfcn import BASE_BANDWIDTH, _BASES
 from ..l1 import bcch, ccch, facch3, facch9, tch3, tch9
+from ..ops import a5 as a5op
 from ..ops import cplx
 from ..ops.interleave import InterleaverState
 from ..sdr import bursts as BU
@@ -110,26 +112,32 @@ def _windows(streams, idx, wlen: int):
 def _windows_rows(streams, rows, idx, wlen: int):
     """streams (M, Ns, 2), rows (C,), idx (C, F) -> (C, F, wlen, 2).
 
-    ONE flat gather that fuses the carrier-row select with the window
-    slice — `streams[rows]` at transponder scale would copy the whole
-    ~0.5 GB stream buffer per phase call."""
-    m, t = streams.shape[0], streams.shape[1]
-    flat = streams.reshape(m * t, 2)
-    gi = (rows[:, None, None].astype(jnp.int32) * t
-          + idx[:, :, None] + jnp.arange(wlen, dtype=jnp.int32))
-    return flat[gi]
+    Vmapped dynamic_slice: lowers to ONE gather of (1, wlen, 2)-sized
+    slices — the form XLA:TPU tiles well.  Fuses the carrier-row select
+    with the window slice (`streams[rows]` would copy the whole ~0.5 GB
+    stream buffer per phase call) and beats the flat per-element gather
+    by ~6x at transponder scale (measured 209 -> 37 ms per phase)."""
+    wlen2 = streams.shape[-1]
+
+    def one(r, i):
+        return jax.lax.dynamic_slice(streams, (r, i, 0),
+                                     (1, wlen, wlen2))[0]
+    return jax.vmap(jax.vmap(one, in_axes=(None, 0)))(rows, idx)
 
 
 # --------------------------------------------------------------------------
 # device phases (jitted once per (C, F) shape)
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("sps",))
-def _phase_ctrl(streams, rows, idx_b, idx_c, freqs, sps: int):
+@partial(jax.jit, static_argnames=("sps", "nb"))
+def _phase_ctrl(streams, meta, freqs, sps: int, nb: int):
     """BCCH + CCCH demod/decode for the block's scheduled control
-    windows (packed: (C, NB) BCCH + (C, NC) CCCH pairs)."""
+    windows.  `meta` (C, 1+NB+NC) int32 packs [row | idx_b | idx_c]
+    into ONE transfer (each small device_put costs a full tunnel round
+    trip, ~70 ms on the tunneled chip)."""
     win_b, win_c = 20 * sps, 10 * sps
     fs = -freqs[:, None]
+    rows, idx_b, idx_c = meta[:, 0], meta[:, 1:1 + nb], meta[:, 1 + nb:]
 
     wb = _windows_rows(streams, rows, idx_b, BU.BCCH.len_syms * sps + win_b)
     rb = modem.demod(BU.BCCH, wb, sps=sps, win=win_b, freq_shift=fs)
@@ -154,12 +162,14 @@ def _bt_from_demods(rf, rs, e_toa: float):
 
 
 @partial(jax.jit, static_argnames=("sps",))
-def _phase_tch3(streams, rows, idx_t, p, freqs, sps: int):
+def _phase_tch3(streams, meta, freqs, sps: int):
     """Full TCH3 slot path: energy, DKAB, type detect, FACCH + speech
     demod for every (carrier, frame) — demod everything, select on
-    host (gmr1_rx.c:531-600 restructured)."""
+    host (gmr1_rx.c:531-600 restructured).  `meta` (C, 2+F) int32
+    packs [row | p | idx]."""
     w = sps + sps // 2
     fs = -freqs[:, None]
+    rows, p, idx_t = meta[:, 0], meta[:, 1], meta[:, 2:]
     wt = _windows_rows(streams, rows, idx_t, BU.NT3_FACCH.len_syms * sps + w)
     rd = dkab.demod(wt, sps, p[:, None], fs)
     rf = modem.demod(BU.NT3_FACCH, wt, sps=sps, win=w, freq_shift=fs)
@@ -170,19 +180,40 @@ def _phase_tch3(streams, rows, idx_t, p, freqs, sps: int):
 
 
 @partial(jax.jit, static_argnames=("sps",))
-def _phase_tch9(streams, rows, idx_t, freqs, sps: int):
-    """NT9 demod for every (carrier, frame) (gmr1_rx.c:276-353)."""
+def _phase_tch9(streams, meta, freqs, sps: int):
+    """NT9 demod for every (carrier, frame) (gmr1_rx.c:276-353).
+    `meta` (C, 1+F) int32 packs [row | idx]."""
     w = sps + sps // 2
     fs = -freqs[:, None]
+    rows, idx_t = meta[:, 0], meta[:, 1:]
     wt = _windows_rows(streams, rows, idx_t, BU.NT9.len_syms * sps + w)
     r = modem.demod(BU.NT9, wt, sps=sps, win=w, freq_shift=fs)
     return dict(ebits=r.ebits, sid=r.sync_id)
 
 
 @jax.jit
-def _tch9_chain(ebits_f, il, ciph_f, valid_f):
-    """Chained 9k6 CSD decode over (F, C9, 662), rings gated per burst."""
+def _tch9_chain(ebits, il, fns, key, valid_f):
+    """Chained 9k6 CSD decode, all-device: `ebits` (C9, F, 662) stays
+    resident from _phase_tch9 (no 24 MB host round trip), the A5/1
+    keystreams compute on device from the frame numbers (ops.a5
+    batched scan, parity-tested vs the native C), rings gated per
+    burst by `valid_f` (F, C9)."""
+    c9, f_cnt = ebits.shape[0], ebits.shape[1]
+    ks = a5op.keystream(key, fns.reshape(-1), 658)[0]
+    ciph_f = ks.reshape(c9, f_cnt, 658).swapaxes(0, 1)
+    ebits_f = jnp.swapaxes(ebits, 0, 1)
     return tch9.decode_frames(ebits_f, tch9.MODE_9K6, il, ciph_f, valid_f)
+
+
+def _fetch(tree):
+    """device_get with async host copies started for EVERY leaf first:
+    jax fetches leaves one at a time, and on a tunneled device each
+    synchronous fetch pays the full link round trip — batching the
+    copy starts collapses N latencies to ~1."""
+    for x in jax.tree_util.tree_leaves(tree):
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+    return jax.device_get(tree)
 
 
 # --------------------------------------------------------------------------
@@ -221,6 +252,7 @@ class WidebandReceiver:
                  wide_channels=None):
         self.sps = sps
         self.kc = np.frombuffer(kc, np.uint8) if kc else np.zeros(8, np.uint8)
+        self._kc_dev = jnp.asarray(self.kc)   # hoisted: one H2D, reused
         self.sink = sink
         self.snr_min = snr_min
         self.block_frames = block_frames
@@ -265,7 +297,15 @@ class WidebandReceiver:
         self.arfcn_filter = arfcns
         self.carriers: list[_Carrier] = []
         self.frames: list[tuple[int, int, int, int, bytes]] = []
+        # wall-clock per pipeline section, accumulated across run()
+        # (SURVEY §5.1 observability; bench_app.py reports it)
+        self.prof: dict[str, float] = {}
         self._build_ingest()
+
+    def _tick(self, key: str, t0: float) -> float:
+        t1 = time.perf_counter()
+        self.prof[key] = self.prof.get(key, 0.0) + (t1 - t0)
+        return t1
 
     def _prep_wb(self, wb: np.ndarray) -> np.ndarray:
         """Grid pre-rotation + off-grid pre-resample (the reference's
@@ -421,6 +461,7 @@ class WidebandReceiver:
     def _ingest_block(self, b: int) -> None:
         """Run the ingest step for block b; sets self.streams (M, T_buf,
         2) and self._buf0 (absolute output sample of buffer index 0)."""
+        t = time.perf_counter()
         x = self._next_block()
         out = self._step(self._put(x), *self._state)
         if self._wide:
@@ -431,6 +472,7 @@ class WidebandReceiver:
         else:
             self.streams, self._state = out[0], out[1:]
         self._buf0 = b * self.S_b - self.T_tail
+        self._tick("ingest_host", t)
 
     # --- helpers -----------------------------------------------------
 
@@ -504,7 +546,7 @@ class WidebandReceiver:
         w_snr = _windows(streams, toa, blen)
         snr = fcch.snr(ft, w_snr, sps, -ferr)
 
-        toa, ferr, snr = jax.device_get((toa, ferr, snr))
+        toa, ferr, snr = _fetch((toa, ferr, snr))
         snr = np.where(valid, snr, np.nan)
         self.carriers = []
         for col in range(m):
@@ -552,37 +594,64 @@ class WidebandReceiver:
         return 64 <= a <= self.T_buf - (self.block_frames + 2) \
             * self.frame_out
 
+    def _mk_idx(self, cars, slot_of, win, frames=None):
+        F, sps, buf0 = self.block_frames, self.sps, self._buf0
+        e_toa = win >> 1
+        nf = F if frames is None else frames.shape[1]
+        idx = np.zeros((len(cars), nf), np.int64)
+        for i, car in enumerate(cars):
+            fr = np.arange(F) if frames is None else frames[i]
+            idx[i] = (car.cd.align - buf0 + sps * slot_of(car) * 39
+                      - e_toa + fr * self.frame_out)
+        return idx
+
+    def _pad_idx(self, idx, n, wlen):
+        """Pad rows to n and clip window starts into the buffer (np)."""
+        hi = self.T_buf - wlen - 1
+        idx = np.concatenate([idx, np.tile(idx[:1], (n - len(idx), 1))])
+        return np.clip(idx, 0, hi).astype(np.int32)
+
+    def _dispatch_tch3(self, tch3_set):
+        """Dispatch (async) the TCH3 slot-path phase for these carriers."""
+        sps = self.sps
+        C3 = _pad_cnt(len(tch3_set))
+        rows3 = [c.col for c in tch3_set]
+        rows3 += [rows3[0]] * (C3 - len(tch3_set))
+        w = sps + sps // 2
+        idx_t = self._pad_idx(
+            self._mk_idx(tch3_set, lambda c: c.cd.tch3.tn, w), C3,
+            BU.NT3_FACCH.len_syms * sps + w)
+        p3 = np.zeros(C3, np.int32)
+        fr3 = np.zeros(C3, np.float32)
+        for i, car in enumerate(tch3_set):
+            p3[i] = car.cd.tch3.p
+            fr3[i] = car.cd.freq_err
+        meta = np.concatenate(
+            [np.asarray(rows3, np.int32)[:, None], p3[:, None], idx_t],
+            axis=1)
+        return _phase_tch3(self.streams, jnp.asarray(meta),
+                           jnp.asarray(fr3), sps)
+
     def _process_block(self, active: list[_Carrier]) -> None:
+        t = time.perf_counter()
         sps = self.sps
         F = self.block_frames
         frame_len = self.frame_out
-        buf0 = self._buf0
         C = _pad_cnt(len(active))
         rows = [c.col for c in active]
         rows += [rows[0]] * (C - len(active))
         rows = np.asarray(rows, np.int32)
 
-        def mk_idx(cars, slot_of, win, frames=None):
-            e_toa = win >> 1
-            nf = F if frames is None else frames.shape[1]
-            idx = np.zeros((len(cars), nf), np.int64)
-            for i, car in enumerate(cars):
-                fr = np.arange(F) if frames is None else frames[i]
-                idx[i] = (car.cd.align - buf0 + sps * slot_of(car) * 39
-                          - e_toa + fr * frame_len)
-            return idx
-
-        def pad_idx(idx, n, wlen):
-            hi = self.T_buf - wlen - 1
-            idx = np.concatenate([idx, np.tile(idx[:1], (n - len(idx), 1))])
-            return jnp.asarray(np.clip(idx, 0, hi).astype(np.int32))
-
-        # ---- phase 1: control channels (packed schedule) ---------------
-        # the reference demodulates BCCH only on sirfn%8==2 frames and
-        # CCCH on sirfn%8 not in {0, 2} (gmr1_rx.c:867,800): pack just
-        # those (carrier, frame) pairs instead of demodulating every
-        # frame — at F=8 that is 1 BCCH + 6 CCCH windows per carrier
-        # per block, a ~45% cut of phase-1 device work
+        # ---- dispatch ALL phases on PRE-block state (async) -------------
+        # phase 1: packed control schedule — the reference demodulates
+        # BCCH only on sirfn%8==2 frames and CCCH on sirfn%8 not in
+        # {0, 2} (gmr1_rx.c:867,800): at F=8 that is 1 BCCH + 6 CCCH
+        # windows per carrier per block, a ~45% cut of phase-1 work.
+        # Phases 2/3 depend only on pre-block channel state (tn/p/align
+        # are block-boundary state), so all three dispatch back-to-back
+        # and ONE batched fetch collapses the tunnel round trips; the
+        # rare same-block activations/realigns re-dispatch a
+        # supplemental phase for just those carriers below.
         sched = [self._block_schedule(car, F) for car in active]
         fr_b = [np.flatnonzero(s[0]) for s in sched]
         fr_c = [np.flatnonzero(s[1]) for s in sched]
@@ -598,20 +667,37 @@ class WidebandReceiver:
             return out
         frames_b = pack_frames(fr_b, nb)
         frames_c = pack_frames(fr_c, nc)
-        idx_b = mk_idx(active, lambda c: c.cd.sa_bcch_stn, 20 * sps,
-                       frames_b)
-        idx_c = mk_idx(active, lambda c: c.cd.sa_bcch_stn, 10 * sps,
-                       frames_c)
+        idx_b = self._mk_idx(active, lambda c: c.cd.sa_bcch_stn, 20 * sps,
+                             frames_b)
+        idx_c = self._mk_idx(active, lambda c: c.cd.sa_bcch_stn, 10 * sps,
+                             frames_c)
         freqs = np.asarray([c.cd.freq_err for c in active]
                            + [0.0] * (C - len(active)), np.float32)
-        ctrl = jax.device_get(_phase_ctrl(
-            self.streams, jnp.asarray(rows),
-            pad_idx(idx_b, C, BU.BCCH.len_syms * sps + 20 * sps),
-            pad_idx(idx_c, C, BU.DC6.len_syms * sps + 10 * sps),
-            jnp.asarray(freqs), sps))
+        meta = np.concatenate(
+            [rows[:, None],
+             self._pad_idx(idx_b, C, BU.BCCH.len_syms * sps + 20 * sps),
+             self._pad_idx(idx_c, C, BU.DC6.len_syms * sps + 10 * sps)],
+            axis=1)
+        ctrl_fut = _phase_ctrl(self.streams, jnp.asarray(meta),
+                               jnp.asarray(freqs), sps, nb)
+        tch3_pre = [c for c in active if c.cd.tch3.active]
+        align_pre = {id(c): c.cd.align for c in tch3_pre}
+        t3_fut = self._dispatch_tch3(tch3_pre) if tch3_pre else None
+        tch9_pre = [c for c in active if c.cd.tch9.active]
+        state9_pre = {id(c): (c.cd.align, c.cd.fn, c.cd.tch9.tn)
+                      for c in tch9_pre}
+        t9_fut = self._dispatch_tch9(tch9_pre) if tch9_pre else None
+        t = self._tick("dispatch", t)
+        # fetch the control results + phase-2 results + ONLY the NT9
+        # sync ids: the 24 MB NT9 soft bits stay device-resident for
+        # the chained decode (_tch9_chain)
+        ctrl, t3, t9sid = _fetch(
+            (ctrl_fut, t3_fut, t9_fut["sid"] if t9_fut else None))
+        t9 = dict(sid=t9sid, ebits=t9_fut["ebits"]) if t9_fut else None
+        t = self._tick("fetch_phases", t)
 
         # ---- host FSM pass 1: BCCH/CCCH + TCH3/TCH9 activation --------
-        tch3_set: list[_Carrier] = []
+        tch3_new: list[_Carrier] = []
         tch3_from: dict[int, int] = {}       # carrier -> first active f
         for i, car in enumerate(active):
             cd = car.cd
@@ -657,48 +743,76 @@ class WidebandReceiver:
                             st3.ciph = 0
                             st3.sync_id = 0
                             st3.ebits[:] = 0
+                            if id(car) not in {id(c) for c in tch3_new}:
+                                tch3_new.append(car)
                             tch3_from[id(car)] = f + 1
                             self._log(f"[+] ARFCN {car.arfcn} TCH3 on "
                                       f"TN {st3.tn}")
                         self._emit(car, gsmtap.GMR1_CCCH, fn,
                                    cd.sa_bcch_stn, l2)
             cd._pending = (d_align, d_freq)   # applied after phases 2/3
-            if cd.tch3.active:
-                tch3_set.append(car)
-                tch3_from.setdefault(id(car), 0)
 
-        # ---- phase 2: TCH3 slot path ----------------------------------
+        t = self._tick("walk_ctrl", t)
+
+        # ---- phase 2 walk over the pre-dispatched results ---------------
         facch_jobs, speech_jobs = [], []
-        if tch3_set:
-            C3 = _pad_cnt(len(tch3_set))
-            rows3 = [c.col for c in tch3_set]
-            rows3 += [rows3[0]] * (C3 - len(tch3_set))
-            w = sps + sps // 2
-            idx_t = mk_idx(tch3_set, lambda c: c.cd.tch3.tn, w)
-            p3 = np.zeros(C3, np.int32)
-            fr3 = np.zeros(C3, np.float32)
-            for i, car in enumerate(tch3_set):
-                p3[i] = car.cd.tch3.p
-                fr3[i] = car.cd.freq_err
-            t3 = jax.device_get(_phase_tch3(
-                self.streams, jnp.asarray(np.asarray(rows3, np.int32)),
-                pad_idx(idx_t, C3, BU.NT3_FACCH.len_syms * sps + w),
-                jnp.asarray(p3), jnp.asarray(fr3), sps))
-            facch_jobs, speech_jobs = self._walk_tch3(
-                tch3_set, tch3_from, t3, F)
+        new_ids = {id(c) for c in tch3_new}
+        if tch3_pre:
+            # carriers re-assigned or re-aligned during pass 1 have
+            # stale pre-dispatched windows: skip here, re-dispatch below
+            skip = {id(c): F for c in tch3_pre
+                    if id(c) in new_ids or c.cd.align != align_pre[id(c)]}
+            fj, sj = self._walk_tch3(tch3_pre, skip, t3, F)
+            facch_jobs += fj
+            speech_jobs += sj
+        supp = tch3_new + [
+            c for c in tch3_pre
+            if c.cd.align != align_pre[id(c)] and id(c) not in new_ids
+            and c.cd.tch3.active]
+        if supp:
+            t3n = _fetch(self._dispatch_tch3(supp))
+            fj, sj = self._walk_tch3(supp, tch3_from, t3n, F)
+            facch_jobs += fj
+            speech_jobs += sj
 
-        # ---- FACCH3 flush decode (batched, both cipher variants) ------
+        t = self._tick("walk_tch3", t)
+
+        # ---- dispatch every result decode, then ONE fetch ---------------
+        # (each separate readback pays the tunnel's D2H round trip)
+        futs = {}
         if facch_jobs:
-            self._decode_facch_jobs(facch_jobs)
-
-        # ---- speech decode (batched) -----------------------------------
+            futs["facch"] = self._dispatch_facch(facch_jobs)
         if speech_jobs:
-            self._decode_speech_jobs(speech_jobs)
+            futs["speech"] = self._dispatch_speech(speech_jobs)
+        ctx9 = None
+        if tch9_pre:
+            stale9 = [c for c in tch9_pre
+                      if (c.cd.align, c.cd.fn, c.cd.tch9.tn)
+                      != state9_pre[id(c)]]
+            ctx9, futs["t9"] = self._tch9_decode_futs(
+                tch9_pre, t9, skip={id(c) for c in stale9})
+        else:
+            stale9 = []
+        res = _fetch(futs)
+        if facch_jobs:
+            self._walk_facch(facch_jobs, res["facch"])
+        if speech_jobs:
+            self._walk_speech(speech_jobs, res["speech"])
+        t = self._tick("decode_jobs", t)
 
-        # ---- phase 3: TCH9 ----------------------------------------------
-        tch9_set = [c for c in active if c.cd.tch9.active]
-        if tch9_set:
-            self._process_tch9(tch9_set, F, frame_len)
+        # ---- phase 3 emit + supplemental TCH9 ---------------------------
+        if ctx9 is not None:
+            self._tch9_emit(tch9_pre, ctx9, res["t9"])
+        tch9_new = [c for c in active if c.cd.tch9.active
+                    and id(c) not in {id(x) for x in tch9_pre}]
+        supp9 = tch9_new + [c for c in stale9 if c.cd.tch9.active]
+        if supp9:
+            t9f = self._dispatch_tch9(supp9)
+            t9n = dict(sid=_fetch(t9f["sid"]), ebits=t9f["ebits"])
+            ctx9s, futs9s = self._tch9_decode_futs(supp9, t9n)
+            self._tch9_emit(supp9, ctx9s, _fetch(futs9s))
+
+        t = self._tick("tch9", t)
 
         # ---- advance block ----------------------------------------------
         # one frame of slot offset + the largest burst window fits in
@@ -779,14 +893,19 @@ class WidebandReceiver:
         st.ebits[:] = 0
         return job
 
-    def _decode_facch_jobs(self, jobs) -> None:
-        """Both cipher variants of every flush in one batched decode,
-        then the reference's retry/learn rule host-side."""
+    def _dispatch_facch(self, jobs):
+        """Both cipher variants of every flush in one batched decode
+        (async dispatch; walk with _walk_facch on the fetched result)."""
         eb = np.stack([j["eb"] for j in jobs] * 2)
         ciphs = np.stack([np.zeros(384, np.uint8) for j in jobs]
                          + [j["ciph"] for j in jobs])
-        l2, _sbits, bad, _m = jax.device_get(
-            facch3.decode(jnp.asarray(eb), jnp.asarray(ciphs)))
+        l2, _sbits, bad, _m = facch3.decode(jnp.asarray(eb),
+                                            jnp.asarray(ciphs))
+        return l2, bad
+
+    def _walk_facch(self, jobs, res) -> None:
+        """The reference's cipher retry/learn rule host-side."""
+        l2, bad = res
         n = len(jobs)
         for k, j in enumerate(jobs):
             car, st = j["car"], j["car"].cd.tch3
@@ -803,7 +922,14 @@ class WidebandReceiver:
                 if facch3_is_ass_cmd_1(l2k):
                     car.cd.tch9.active = True
                     car.cd.tch9.tn = facch3_ass_cmd_1_parse(l2k)
-                    car.cd.tch9.il = tch9.interleaver_init()
+                    # host-numpy ring state: the batched chain stacks
+                    # all carriers' rings every block — device-array
+                    # state here would cost one ~40 ms tunnel fetch per
+                    # carrier at stack time (measured: 42 s for 1064)
+                    car.cd.tch9.il = InterleaverState(
+                        buf=np.zeros((tch9.INTER_DEPTH, tch9.INTER_WIDTH),
+                                     np.float32),
+                        n=np.zeros((), np.int32))
                     # frames before the assignment must not feed the
                     # CSD deinterleaver (the reference only starts
                     # rx_tch9 on the next frame, gmr1_rx.c:437-441)
@@ -811,91 +937,145 @@ class WidebandReceiver:
                     self._log(f"[+] ARFCN {car.arfcn} TCH9 on TN "
                               f"{car.cd.tch9.tn}")
 
-    def _decode_speech_jobs(self, jobs) -> None:
+    def _dispatch_speech(self, jobs):
         eb = np.stack([e for _c, _f, e in jobs])
         ciph = np.stack([
             self._a5(fn, 208) if car.cd.tch3.ciph
             else np.zeros(208, np.uint8)
             for car, fn, _e in jobs])
-        f0, f1, _s, _m = jax.device_get(
-            tch3.decode(jnp.asarray(eb), jnp.asarray(ciph)))
+        f0, f1, _s, _m = tch3.decode(jnp.asarray(eb), jnp.asarray(ciph))
+        return f0, f1
+
+    def _walk_speech(self, jobs, res) -> None:
+        f0, f1 = res
         for k, (car, _fn, _e) in enumerate(jobs):
             car.speech.append(bytes(bytearray(f0[k])))
             car.speech.append(bytes(bytearray(f1[k])))
 
     # --- TCH9 (gmr1_rx.c:276-353 over batched demods) --------------------
 
-    def _process_tch9(self, tch9_set, F: int, frame_len: int) -> None:
+    def _dispatch_tch9(self, tch9_set):
+        """Dispatch (async) the NT9 demod phase for these carriers."""
         sps = self.sps
         n9 = len(tch9_set)
         C9 = _pad_cnt(n9)
         rows9 = [c.col for c in tch9_set]
         rows9 += [rows9[0]] * (C9 - n9)
         w = sps + sps // 2
-        idx = np.zeros((C9, F), np.int64)
+        idx = self._pad_idx(
+            self._mk_idx(tch9_set, lambda c: c.cd.tch9.tn, w), C9,
+            BU.NT9.len_syms * sps + w)
         fr9 = np.zeros(C9, np.float32)
-        buf0 = self._buf0
         for i, car in enumerate(tch9_set):
-            idx[i] = (car.cd.align - buf0 + sps * car.cd.tch9.tn * 39
-                      - (w >> 1) + np.arange(F) * frame_len)
             fr9[i] = car.cd.freq_err
-        idx[n9:] = idx[0]
-        hi = self.T_buf - (BU.NT9.len_syms * sps + w) - 1
-        t9 = jax.device_get(_phase_tch9(
-            self.streams, jnp.asarray(np.asarray(rows9, np.int32)),
-            jnp.asarray(np.clip(idx, 0, hi).astype(np.int32)),
-            jnp.asarray(fr9), sps))
+        meta = np.concatenate(
+            [np.asarray(rows9, np.int32)[:, None], idx], axis=1)
+        return _phase_tch9(self.streams, jnp.asarray(meta),
+                           jnp.asarray(fr9), sps)
 
-        # per-(carrier, frame) keystreams: dedup fns, ONE native batch
+    def _il9_state(self, tch9_set, C9: int) -> InterleaverState:
+        """Batched deinterleaver rings for these carriers, kept
+        DEVICE-resident across blocks while the set is stable (the
+        host stack + 9 MB/block round trip only happens when carriers
+        join or leave)."""
+        ids = tuple(id(c) for c in tch9_set)
+        cache = getattr(self, "_il9_cache", None)
+        if cache is not None and cache[0] == ids:
+            return cache[2]
+        self._il9_writeback()
+        n9 = len(tch9_set)
+        buf = np.stack([np.asarray(c.cd.tch9.il.buf) for c in tch9_set])
+        n = np.stack([np.asarray(c.cd.tch9.il.n) for c in tch9_set])
+        if C9 != n9:
+            buf = np.concatenate([buf, np.tile(buf[:1], (C9 - n9, 1, 1))])
+            n = np.concatenate([n, np.tile(n[:1], C9 - n9)])
+        return InterleaverState(buf=jnp.asarray(buf), n=jnp.asarray(n))
+
+    def _il9_writeback(self) -> None:
+        """Flush the device-resident ring cache back to per-carrier
+        host state (set membership changed)."""
+        cache = getattr(self, "_il9_cache", None)
+        if cache is None:
+            return
+        _ids, cars, il_dev = cache
+        il_np = _fetch(il_dev)
+        for i, car in enumerate(cars):
+            car.cd.tch9.il = InterleaverState(buf=il_np.buf[i],
+                                              n=il_np.n[i])
+        self._il9_cache = None
+
+    def _tch9_decode_futs(self, tch9_set, t9, skip=frozenset()):
+        """Dispatch the NT9 result decodes (sid fetched, soft bits
+        device-resident): FACCH9 batch + chained CSD decode.  Carriers
+        in `skip` are left untouched (stale windows — their
+        supplemental re-dispatch handles this block).  Returns
+        (ctx, futures) — fetch the futures and emit via _tch9_emit."""
+        F = self.block_frames
+        n9 = len(tch9_set)
+        C9 = _pad_cnt(n9)
+
         fns = np.asarray([[car.cd.fn + f for f in range(F)]
                           for car in tch9_set], np.int64)       # (n9, F)
-        ufn, uinv = np.unique(fns & 0xFFFFFFFF, return_inverse=True)
-        ks_cf = native.a5_keystream_batch(
-            self.kc, ufn, 658)[uinv.reshape(n9, F)]             # (n9,F,658)
-
         sid = np.asarray(t9["sid"][:n9])
         started = fns >= np.asarray(
             [getattr(c.cd.tch9, "from_fn", 0) for c in tch9_set])[:, None]
+        if skip:
+            started &= np.asarray(
+                [id(c) not in skip for c in tch9_set])[:, None]
         is_f9 = (sid == 0) & started
         is_t9 = (sid == 1) & started
+        ctx = dict(fns=fns, is_f9=is_f9, is_t9=is_t9)
+        futs = {}
 
-        # FACCH9: one batched decode of every sync_id==0 burst
+        # FACCH9: one batched decode of every sync_id==0 burst (rows
+        # gathered on device; keystreams native host batch)
         jf = np.argwhere(is_f9)
+        ctx["jf"] = jf
         if len(jf):
-            eb = np.stack([np.asarray(t9["ebits"][i, f]) for i, f in jf])
-            ciph = np.stack([ks_cf[i, f] for i, f in jf])
-            l2, _sa, _st, bad, _m = jax.device_get(
-                facch9.decode(jnp.asarray(eb), jnp.asarray(ciph)))
+            eb_dev = t9["ebits"][jnp.asarray(jf[:, 0]),
+                                 jnp.asarray(jf[:, 1])]
+            ufn, uinv = np.unique(
+                np.asarray([fns[i, f] for i, f in jf]) & 0xFFFFFFFF,
+                return_inverse=True)
+            ciph = native.a5_keystream_batch(self.kc, ufn, 658)[uinv]
+            l2, _sa, _st, bad, _m = facch9.decode(eb_dev,
+                                                  jnp.asarray(ciph))
+            futs["f9"] = (l2, bad)
+
+        # TCH9 CSD: ONE chained decode batched across carriers — the
+        # validity mask gates each carrier's depth-3 ring so only real
+        # TCH9 bursts advance it (identical to the sequential
+        # per-burst walk, gmr1_rx.c:321-347 / tch9.c:109).  Soft bits
+        # and rings stay on device; A5 computes in-graph; only the
+        # decoded payloads (0.5 MB) come back.
+        if is_t9.any():
+            ilb = self._il9_state(tch9_set, C9)
+            vmask = np.zeros((F, C9), bool)
+            vmask[:, :n9] = is_t9.T
+            fns_pad = np.zeros((C9, F), np.uint32)
+            fns_pad[:n9] = fns & 0xFFFFFFFF
+            il2, l2a, _sa, _stb, _m = _tch9_chain(
+                t9["ebits"], ilb, jnp.asarray(fns_pad),
+                self._kc_dev, jnp.asarray(vmask))
+            self._il9_cache = (tuple(id(c) for c in tch9_set),
+                               list(tch9_set), il2)
+            futs["l2a"] = l2a
+        return ctx, futs
+
+    def _tch9_emit(self, tch9_set, ctx, res) -> None:
+        """Emit fetched TCH9 results (FACCH9 frames + CSD payloads)."""
+        F = self.block_frames
+        fns, is_t9, jf = ctx["fns"], ctx["is_t9"], ctx["jf"]
+        if "f9" in res:
+            l2, bad = res["f9"]
             for k, (i, f) in enumerate(jf):
                 car = tch9_set[i]
                 if not bad[k]:
                     self._emit(car, gsmtap.GMR1_TCH9 | gsmtap.GMR1_FACCH,
                                int(fns[i, f]), car.cd.tch9.tn, l2[k])
-
-        # TCH9 CSD: ONE chained decode batched across carriers — the
-        # validity mask gates each carrier's depth-3 ring so only real
-        # TCH9 bursts advance it (identical to the sequential
-        # per-burst walk, gmr1_rx.c:321-347 / tch9.c:109)
-        if is_t9.any():
-            def padded(stack, fill_from=0):
-                return np.concatenate(
-                    [stack, np.tile(stack[fill_from:fill_from + 1],
-                                    (C9 - n9,) + (1,) * (stack.ndim - 1))]) \
-                    if C9 != n9 else stack
-            ilb = InterleaverState(
-                buf=jnp.asarray(padded(np.stack(
-                    [np.asarray(c.cd.tch9.il.buf) for c in tch9_set]))),
-                n=jnp.asarray(padded(np.stack(
-                    [np.asarray(c.cd.tch9.il.n) for c in tch9_set]))))
-            vmask = np.zeros((F, C9), bool)
-            vmask[:, :n9] = is_t9.T
-            il2, l2a, _sa, _stb, _m = jax.device_get(_tch9_chain(
-                jnp.asarray(np.moveaxis(np.asarray(t9["ebits"][:C9]), 0, 1)),
-                ilb, jnp.asarray(np.moveaxis(padded(ks_cf), 0, 1)),
-                jnp.asarray(vmask)))
+        if "l2a" in res:
+            l2a = res["l2a"]
             for i, car in enumerate(tch9_set):
-                car.cd.tch9.il = InterleaverState(
-                    buf=il2.buf[i], n=il2.n[i])
                 for f in range(F):
                     if is_t9[i, f]:
                         l2 = np.asarray(l2a[f, i])
