@@ -4,14 +4,14 @@ BASELINE.md's north star includes ">80% scaling efficiency at N>=2".
 Real multi-chip hardware is not available in this environment (one
 tunneled chip), so this measures the SPMD program itself on the virtual
 CPU mesh: weak scaling of the full StreamingTransponder step (PFB
-analysis + ppermute halo + bf16 all_to_all reshard + carrier-parallel
-BCCH/TCH3/DKAB/TCH9 demod/decode with carried state).
+analysis over host-overlapped halo shards + bf16 all_to_all reshard +
+carrier-parallel BCCH/TCH3/DKAB/TCH9 demod/decode with carried state).
 
 Per-device work is constant by construction: each device owns a fixed
-n_local time block (2 TDMA frames of wideband input); the carrier axis
-splits M ways across D devices while the frame axis grows D ways, so
-demod/decode FLOPs per device stay constant and only the collectives
-(halo ppermute + bank all_to_all) grow with D.
+n_local time block; the carrier axis splits M ways across D devices
+while the frame axis grows D ways, so demod/decode FLOPs per device
+stay constant and only the bank all_to_all (the step's single
+collective) grows with D.
 
 Measurement protocol (fixes round 3's normalization problem): every
 device count runs in its own SUBPROCESS pinned with `taskset` to
@@ -101,8 +101,11 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4,
                     help="timed steps per device count")
-    ap.add_argument("--fper", type=int, default=2,
-                    help="TDMA frames per device per step")
+    ap.add_argument("--fper", type=int, default=4,
+                    help="TDMA frames per device per step (4 = 0.16 s "
+                         "of signal per device per step; the app-block "
+                         "scale at which the per-step collective "
+                         "rendezvous amortizes)")
     ap.add_argument("--single", type=int, default=0,
                     help="internal: run one pinned measurement")
     args = ap.parse_args(argv)
@@ -112,6 +115,33 @@ def main(argv=None) -> None:
         return
 
     n_cores = os.cpu_count() or 1
+
+    # CONTROL: the same per-device workload as two INDEPENDENT
+    # single-device processes running concurrently on separate cores.
+    # This carries the identical host memory-bandwidth contention as
+    # the D=2 SPMD run but ZERO communication, so t_control / t(D=2)
+    # isolates what the bf16 all_to_all actually costs — the number a
+    # real pod's ICI scaling efficiency corresponds to.
+    t_control = None
+    if n_cores >= 2:
+        procs = [subprocess.Popen(
+            ["taskset", "-c", str(c), sys.executable,
+             os.path.abspath(__file__), "--single", "1",
+             "--steps", str(args.steps), "--fper", str(args.fper)],
+            stdout=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+            for c in (0, 1)]
+        ts = []
+        for p in procs:
+            out, _ = p.communicate()
+            if p.returncode == 0:
+                ts.append(json.loads(
+                    out.strip().splitlines()[-1])["t_step"])
+        if len(ts) == 2:
+            t_control = max(ts)
+            print(f"control (2 independent 1-dev runs): "
+                  f"t={t_control:.3f}s", flush=True)
+
     results = {}
     for d in (1, 2, 4, 8):
         cores = min(d, n_cores)
@@ -134,6 +164,8 @@ def main(argv=None) -> None:
     for d, r in results.items():
         r["eff_raw"] = round(t1 / r["t_step"], 4)
         r["eff_cores"] = round(t1 * d / (r["t_step"] * r["cores"]), 4)
+    eff_comm = round(t_control / results[2]["t_step"], 4) \
+        if t_control else None
 
     print(json.dumps({
         "metric": "multichip_weak_scaling",
@@ -144,7 +176,9 @@ def main(argv=None) -> None:
                     "constant resources (true weak scaling for D<=cores)",
         "n_cores_physical": n_cores,
         "per_device": results,
+        "t_control_2x1dev": t_control,
         "eff_at_2": results[2]["eff_cores"],
+        "eff_comm_at_2": eff_comm,
         "eff_cores_at_8": results[8]["eff_cores"],
         "note": "D > cores points timeshare the physical cores and are "
                 "supporting evidence only (eff_cores normalizes the "

@@ -1,4 +1,4 @@
-"""Shared SPMD ingest step: halo exchange -> PFB analysis -> reshard.
+"""Shared SPMD ingest step: overlapped shards -> analysis -> reshard.
 
 ONE implementation of the distributed-filterbank front half used by
 both multi-chip consumers (VERDICT r03 weak #5 asked for exactly this):
@@ -11,15 +11,22 @@ The step (reference analogue: the GNURadio channelizer process feeding
 per-ARFCN demodulators, utils/gmr1_process_recording.py:89-110):
 
   1. TIME-parallel analysis: each device owns a contiguous wideband
-     block; the p*M filter-history samples (overlap-save tail) come
-     from the left neighbour by ppermute — device 0 uses the carried
-     tail of the previous step, so streaming is sample-exact.
+     block.  The p*M filter-history samples (overlap-save halo) arrive
+     ALREADY PREPENDED to each shard: the HOST holds the raw stream and
+     duplicates the overlap into the H2D transfer (`overlapped_shards`)
+     — re-sending ~20 KB per shard over the host link instead of
+     paying an ICI ppermute rendezvous every step.  (An earlier form
+     exchanged the halo by ppermute; with a host-fed pipeline that is
+     a strictly worse trade — measured ~19% step overhead at D=2 on
+     the CPU mesh came almost entirely from collective rendezvous,
+     not bytes.)
   2. all_to_all reshard: the channel bank flips time-sharded ->
-     CARRIER-sharded, riding ICI.  The bank transports as bf16: on TPU
-     it is produced by a bf16-operand DFT matmul anyway (pfb.py
-     `_analyze_slab_packed`), so the wire precision matches the
-     compute precision while halving the dominant ICI term; pass
-     `bf16_reshard=False` for f32-exact transport (parity tests).
+     CARRIER-sharded, riding ICI — the step's ONLY collective.  The
+     bank transports as bf16: on TPU it is produced by a bf16-operand
+     DFT matmul anyway (pfb.py `_analyze_slab_packed`), so the wire
+     precision matches the compute precision while halving the
+     dominant ICI term; pass `bf16_reshard=False` for f32-exact
+     transport.
   3. The caller consumes the carrier-sharded rows (RRC resample +
      demod/decode) — that half differs by consumer and stays local.
 """
@@ -28,40 +35,49 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def halo_analyze_reshard(ana, axis: str, d: int, x_local, halo_c,
-                         bf16_reshard: bool = True):
+def overlapped_shards(x, tail, halo_len: int, d: int):
+    """Host-side halo duplication: x (D*n_local, 2) planar + carried
+    tail (halo_len, 2) -> ((D, halo_len + n_local, 2), new_tail).
+
+    Shard i gets [x[i*n_local - halo_len : i*n_local] | its block];
+    shard 0's left edge is the PREVIOUS step's tail, so streaming is
+    sample-exact across steps.  Works on numpy or jax arrays."""
+    xp = jnp if isinstance(x, jax.Array) else np
+    n_local = x.shape[0] // d
+    assert x.shape[0] == d * n_local
+    parts = []
+    for i in range(d):
+        left = tail if i == 0 else x[i * n_local - halo_len:i * n_local]
+        parts.append(xp.concatenate([left, x[i * n_local:(i + 1) * n_local]],
+                                    axis=0))
+    return xp.stack(parts), x[-halo_len:]
+
+
+def analyze_reshard(ana, axis: str, d: int, xh_local,
+                    bf16_reshard: bool = True):
     """One SPMD ingest step (call inside shard_map over `axis`).
 
-    ana:     channelizer PFBAnalyzer (geometry + backend dispatch)
-    x_local: (n_local, 2) this device's wideband block
-    halo_c:  (p*M, 2) carried overlap-save tail for device 0
-    Returns (bank_c, recv): bank_c (M/D, R_total, 2) float32
-    carrier-sharded channel rows; recv = this step's tail to carry.
+    ana:      channelizer PFBAnalyzer (geometry + backend dispatch)
+    xh_local: (p*M + n_local, 2) this device's block WITH the
+              overlap-save halo already prepended (overlapped_shards)
+    Returns bank_c (M/D, R_total, 2) float32 carrier-sharded rows.
     """
-    halo_len = ana.p * ana.m
-    tail = x_local[-halo_len:]
-    recv = jax.lax.ppermute(
-        tail, axis, perm=[(i, (i + 1) % d) for i in range(d)])
-    dev = jax.lax.axis_index(axis)
-    halo = jnp.where(dev == 0, halo_c, recv)
-    blk = jnp.concatenate([halo, x_local], axis=0)
-    bank = ana.block(blk)                       # (R_local, M, 2)
+    bank = ana.block(xh_local)                  # (R_local, M, 2)
     if bf16_reshard:
         bank = bank.astype(jnp.bfloat16)
     bank_c = jax.lax.all_to_all(
         bank, axis, split_axis=1, concat_axis=0, tiled=True)
     if bf16_reshard:
         bank_c = bank_c.astype(jnp.float32)
-    return jnp.moveaxis(bank_c, 1, 0), recv     # (M/D, R_total, 2)
+    return jnp.moveaxis(bank_c, 1, 0)           # (M/D, R_total, 2)
 
 
 def ici_bytes_per_step(ana, r_local: int, d: int,
                        bf16_reshard: bool = True) -> int:
-    """Per-device ICI bytes/step: halo ppermute (f32) + bank
-    all_to_all ((D-1)/D of the local bank each way)."""
+    """Per-device ICI bytes/step: the bank all_to_all ((D-1)/D of the
+    local bank each way).  The halo rides H2D, not ICI."""
     elt = 2 if bf16_reshard else 4
-    halo = ana.p * ana.m * 2 * 4
-    reshard = 2 * r_local * ana.m * 2 * elt * (d - 1) // d
-    return halo + reshard
+    return 2 * r_local * ana.m * 2 * elt * (d - 1) // d

@@ -5,12 +5,12 @@ per-ARFCN FIFOs to demodulator processes (utils/gmr1_process_recording.py).
 The TPU-native equivalent is one SPMD program over a device mesh:
 
   1. TIME-parallel analysis: the wideband stream is sharded in time;
-     each chip runs the polyphase analysis on its block after a
-     ppermute halo exchange of the P*M filter-history samples from its
-     left neighbour (the overlap-save tail).
+     each chip runs the polyphase analysis on its block, whose P*M
+     filter-history samples (overlap-save tail) the host prepends to
+     the H2D shard (parallel/ingest.py overlapped_shards).
   2. all_to_all reshard: the channel bank flips from time-sharded to
      CARRIER-sharded — the classic distributed-filterbank transpose,
-     riding ICI.
+     riding ICI (the step's only collective).
   3. CARRIER-parallel back-end: each chip RRC-resamples, demodulates
      and FEC-decodes its subset of carriers; CRC metrics psum across
      the mesh; decoded L2 frames stay carrier-sharded for host-0
@@ -36,7 +36,8 @@ from ..ops import cplx
 from ..ops.interleave import InterleaverState
 from ..sdr import bursts as BU
 from ..sdr import modem
-from .ingest import halo_analyze_reshard, ici_bytes_per_step
+from .ingest import (analyze_reshard, ici_bytes_per_step,
+                     overlapped_shards)
 
 
 class ShardedTransponder:
@@ -77,14 +78,14 @@ class ShardedTransponder:
         self.win = win
 
         halo_len = ana.p * ana.m
+        self._halo_len = halo_len
 
-        def step(x_local):
-            # 1-3. shared SPMD ingest (parallel/ingest.py): ppermute
-            # halo (zero left edge: one-shot form) + local analysis +
-            # bf16 all_to_all reshard to carrier-sharded rows
-            bank_c, _ = halo_analyze_reshard(
-                ana, axis, d, x_local,
-                jnp.zeros((halo_len, 2), jnp.float32))
+        def step(xh_local):
+            # 1-3. shared SPMD ingest (parallel/ingest.py): shards
+            # arrive with the overlap-save halo prepended by the host
+            # (zero left edge: one-shot form); local analysis + bf16
+            # all_to_all reshard to carrier-sharded rows
+            bank_c = analyze_reshard(ana, axis, d, xh_local[0])
 
             # 4. carrier-parallel RRC resample + demod + decode
             streams = rrc(bank_c)                      # (M/D, N_s, 2)
@@ -103,12 +104,15 @@ class ShardedTransponder:
         ))
 
     def shard_input(self, x: np.ndarray):
-        """Place a host wideband array (D*n_local, 2) onto the mesh,
-        time-sharded."""
+        """Place a host wideband array (D*n_local, 2) onto the mesh:
+        overlapped (halo-prepended) time shards, zero left edge."""
         assert x.shape[0] == self.n_devices * self.n_local
+        sh, _ = overlapped_shards(
+            np.asarray(x, np.float32),
+            np.zeros((self._halo_len, 2), np.float32),
+            self._halo_len, self.n_devices)
         return jax.device_put(
-            jnp.asarray(x, jnp.float32),
-            NamedSharding(self.mesh, P(self.axis)))
+            jnp.asarray(sh), NamedSharding(self.mesh, P(self.axis)))
 
     def step(self, x_sharded):
         """Run one SPMD step.  Returns (l2 (M, 24) carrier-sharded,
@@ -120,8 +124,8 @@ class StreamingTransponder:
     """STREAMING multi-chip pipeline: state carried across steps.
 
     Relationship to the application: `rx.wideband.WidebandReceiver`
-    (mesh=...) is the full receiver — the SAME SPMD ingest (halo
-    ppermute + all_to_all + carrier-sharded RRC) driven by the host
+    (mesh=...) is the full receiver — the SAME SPMD ingest (host-
+    overlapped halo + all_to_all + carrier-sharded RRC) driven by the host
     channel FSMs, with dynamic per-carrier assignments and closed-loop
     tracking.  This class is its fixed-schedule core: every carrier
     runs the full mixed workload on a static slot map with NO host in
@@ -133,10 +137,10 @@ class StreamingTransponder:
     (time-sharded) and runs a mixed per-carrier workload over F TDMA
     frames on every carrier of the transponder:
 
-      * PFB analysis with a REAL left-edge halo: device 0 uses the tail
-        of the previous step (carried state), devices 1..D-1 ppermute
-        their left neighbour's tail — so block boundaries are exact and
-        the output stream is seamless across steps (overlap-save).
+      * PFB analysis with a REAL left-edge halo prepended host-side
+        to every shard (shard 0's from the previous step's tail) — so
+        block boundaries are exact and the output stream is seamless
+        across steps (overlap-save rides the H2D transfer).
       * all_to_all reshard to carrier-sharded, then per carrier:
         - BCCH demod + Viterbi + CRC on the sirfn%8==2 frame,
         - NT3 speech demod + TCH3 decode on every frame,
@@ -150,9 +154,9 @@ class StreamingTransponder:
     through with the RRC polyphase at phase 0 every frame — the static
     per-frame window matrices computed once apply to every step.
 
-    ICI traffic per step per device (planar float32):
-      halo:       p*M*2*4 bytes (ppermute)
-      reshard:    R_local*M*2*4 * (D-1)/D bytes each way (all_to_all)
+    ICI traffic per step per device:
+      reshard: R_local*M*2*2 bytes (bf16) each way * (D-1)/D
+               (all_to_all — the only collective)
     """
 
     FRAME_ROWS = 2500          # chan rows per TDMA frame at sps=4
@@ -182,6 +186,7 @@ class StreamingTransponder:
         rrc = chz._rrc_resampler(1)
         halo_len = ana.p * ana.m
         self.halo_len = halo_len
+        self._tail = np.zeros((halo_len, 2), np.float32)
         self.ici_bytes_per_step = ici_bytes_per_step(ana, r_local, d)
 
         # static per-frame window geometry (phase-0 alignment, see doc)
@@ -201,7 +206,6 @@ class StreamingTransponder:
 
         def init_carry():
             return dict(
-                halo=jnp.zeros((halo_len, 2), jnp.float32),
                 ema_burst=jnp.zeros((self.m_local,), jnp.float32),
                 ema_dkab=jnp.zeros((self.m_local,), jnp.float32),
                 il=jax.vmap(lambda _: tch9.interleaver_init())(
@@ -214,11 +218,10 @@ class StreamingTransponder:
                                       axis=1)                  # (Ml,K,2)
             return jnp.einsum("nk,mkp->mnp", wmat, xw)         # (Ml,n,2)
 
-        def step(x_local, carry):
-            # 1-3. shared SPMD ingest (parallel/ingest.py): carried
-            # left-edge halo + analysis + bf16 all_to_all reshard
-            bank_c, recv = halo_analyze_reshard(
-                ana, axis, d, x_local, carry["halo"])
+        def step(xh_local, carry):
+            # 1-3. shared SPMD ingest (parallel/ingest.py): host-
+            # overlapped halo shards + analysis + bf16 all_to_all
+            bank_c = analyze_reshard(ana, axis, d, xh_local[0])
 
             # 4a. BCCH on the sirfn%8==2 frame
             wb = window(bank_c, *g_bcch)
@@ -254,44 +257,47 @@ class StreamingTransponder:
             il, l2_t9, _sa, _st, met9 = tch9.decode_frames(
                 r9.ebits, tch9.MODE_9K6, carry["il"])
 
-            n_bad = jax.lax.psum(jnp.sum(crcb), axis)
-            carry_out = dict(halo=recv, ema_burst=em["b"],
-                             ema_dkab=em["d"], il=il)
+            # no psum: CRC totals sum on host from the fetched crcb —
+            # a scalar psum would add a collective rendezvous per step
+            carry_out = dict(ema_burst=em["b"], ema_dkab=em["d"], il=il)
             out = dict(l2b=l2b, crcb=crcb, sf0=sf0, sf1=sf1,
                        dk_bits=dk_bits, dk_found=dk_found,
-                       l2_t9=l2_t9, met9=met9, n_bad=n_bad)
+                       l2_t9=l2_t9, met9=met9)
             return out, carry_out
 
-        spec_c = dict(halo=P(axis), ema_burst=P(axis), ema_dkab=P(axis),
+        spec_c = dict(ema_burst=P(axis), ema_dkab=P(axis),
                       il=InterleaverState(buf=P(axis), n=P(axis)))
         # carrier-sharded outputs: (Ml, ...) concat on axis 0,
         # frame-major outputs (F, Ml, ...) concat on axis 1
         out_spec = dict(l2b=P(axis), crcb=P(axis),
                         sf0=P(None, axis), sf1=P(None, axis),
                         dk_bits=P(None, axis), dk_found=P(None, axis),
-                        l2_t9=P(None, axis), met9=P(None, axis), n_bad=P())
+                        l2_t9=P(None, axis), met9=P(None, axis))
         self._step = jax.jit(jax.shard_map(
             step, mesh=mesh, in_specs=(P(axis), spec_c),
             out_specs=(out_spec, spec_c)))
 
     def shard_input(self, x: np.ndarray):
+        """Overlapped halo shards; the raw tail carries on the HOST
+        between steps (it owns the stream anyway), so streaming stays
+        sample-exact with no per-step ppermute."""
         assert x.shape[0] == self.n_devices * self.n_local, \
             (x.shape, self.n_devices, self.n_local)
+        sh, self._tail = overlapped_shards(
+            np.asarray(x, np.float32), self._tail, self.halo_len,
+            self.n_devices)
         return jax.device_put(
-            jnp.asarray(x, jnp.float32),
-            NamedSharding(self.mesh, P(self.axis)))
+            jnp.asarray(sh), NamedSharding(self.mesh, P(self.axis)))
 
     def carry_init(self):
         """Initial streaming state, sharded over the mesh."""
         c = self.init_carry()
 
         def rep(v):
-            # halo is per-device state: replicate host value then let
-            # shard_map treat it as device-local (P(axis) over a
-            # D-times-tiled array)
+            # per-device state: replicate host value then let shard_map
+            # treat it as device-local (P(axis) over a D-tiled array)
             return jnp.tile(v, (self.n_devices,) + (1,) * (v.ndim - 1))
         return dict(
-            halo=rep(c["halo"]),
             ema_burst=rep(c["ema_burst"]),
             ema_dkab=rep(c["ema_dkab"]),
             il=type(c["il"])(buf=rep(c["il"].buf), n=rep(c["il"].n)),

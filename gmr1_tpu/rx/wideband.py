@@ -11,9 +11,9 @@ batches and device memory stays O(block), not O(capture):
   step per block:
     PFB analysis of the block's wideband samples with the carried
     overlap-save halo (streaming analysis is sample-exact vs offline)
-      -> [mesh given] ppermute halo + all_to_all reshard: time-sharded
-         analysis flips to carrier-sharded — the distributed-filterbank
-         transpose, riding ICI
+      -> [mesh given] host-overlapped halo shards + all_to_all
+         reshard: time-sharded analysis flips to carrier-sharded — the
+         distributed-filterbank transpose, riding ICI
       -> per-carrier RRC resample to sps x symbol rate via ONE static
          per-frame window matrix (MXU matmul; geometry repeats exactly
          every frame: 2500 bank rows <-> 936*sps output samples), with
@@ -270,25 +270,21 @@ class WidebandReceiver:
                                need_nx=bool(self.wide_channels))
         self.rrc = self.chz._rrc_resampler(1)
         from .cfile import ArraySource, SampleSource
-        if isinstance(wb, SampleSource):
-            # true streaming ingest (live-source role of the reference
-            # flowgraph): samples are consumed strictly forward; only
-            # the acquisition prefix is buffered for replay.  The
-            # pre-resampler path needs the whole capture, so streamed
-            # sources must sit on the 31.25 kHz grid; the grid
-            # pre-rotation is applied per block (exact float64 phase).
-            if self.chz.pre_resamp is not None:
-                raise ValueError(
-                    "streamed source needs fs on the 31.25 kHz grid")
-            self._src = wb
-            self._rotate = bool(self.chz.rotation)
-        else:
+        if not isinstance(wb, SampleSource):
             wb = np.asarray(wb)
             if wb.ndim == 1:         # complex -> planar
                 wb = np.stack([wb.real, wb.imag], axis=-1)
-            self._src = ArraySource(self._prep_wb(wb.astype(np.float32)))
-            self._rotate = False
+            wb = ArraySource(wb.astype(np.float32))
+        # every input streams: samples are consumed strictly forward
+        # (live-source role of the reference flowgraph); only the
+        # acquisition prefix is buffered for replay.  The grid
+        # pre-rotation applies per block (exact float64 phase) and
+        # off-grid fs resamples per block through the exact-rational
+        # StreamPreResampler — O(block) memory in every mode.
+        self._src = wb
+        self._rotate = bool(self.chz.rotation)
         self._replay = np.zeros((0, 2), np.float32)
+        self._replay_dev: list = []
         self._n_pulled = 0           # samples pulled from the source
         self._n_in = 0               # samples consumed by the block loop
         self._eof = False
@@ -301,27 +297,16 @@ class WidebandReceiver:
         # (SURVEY §5.1 observability; bench_app.py reports it)
         self.prof: dict[str, float] = {}
         self._build_ingest()
+        self._pre = None
+        if self.chz.pre_resamp is not None:
+            from ..channelizer.pfb import StreamPreResampler
+            self._pre = StreamPreResampler(self.chz.pre_resamp,
+                                           self.n_block, self._pull)
 
     def _tick(self, key: str, t0: float) -> float:
         t1 = time.perf_counter()
         self.prof[key] = self.prof.get(key, 0.0) + (t1 - t0)
         return t1
-
-    def _prep_wb(self, wb: np.ndarray) -> np.ndarray:
-        """Grid pre-rotation + off-grid pre-resample (the reference's
-        pre_resamp path, utils/gmr1_rx_sdr.py:396-417) applied once at
-        ingest; the block loop then sees on-grid samples."""
-        chz = self.chz
-        if not chz.rotation and chz.pre_resamp is None:
-            return wb
-        x = jnp.asarray(wb)
-        if chz.rotation:
-            ph = cplx.expi(chz.rotation
-                           * jnp.arange(x.shape[0], dtype=jnp.float32))
-            x = cplx.mul(x, ph)
-        if chz.pre_resamp is not None:
-            x = chz.pre_resamp(x)
-        return np.asarray(x)
 
     # --- streamed ingest -------------------------------------------------
 
@@ -393,33 +378,36 @@ class WidebandReceiver:
         assert m % d == 0, (m, d)
         r_local = self.R_b // d
         assert self.R_b % d == 0 and r_local % 2 == 0, (self.R_b, d)
-        from ..parallel.ingest import halo_analyze_reshard, \
-            ici_bytes_per_step
+        from ..parallel.ingest import (analyze_reshard, ici_bytes_per_step,
+                                       overlapped_shards)
         self.ici_bytes_per_block = ici_bytes_per_step(ana, r_local, d)
 
-        def sstep(x_local, halo_c, bank_hist, stream_tail):
-            # shared SPMD ingest (parallel/ingest.py): carried halo +
-            # analysis + bf16 all_to_all -> carrier-sharded rows
-            rows, recv = halo_analyze_reshard(ana, axis, d, x_local,
-                                              halo_c)  # (M/D, R_b, 2)
+        def sstep(xh_local, bank_hist, stream_tail):
+            # shared SPMD ingest (parallel/ingest.py): host-overlapped
+            # halo shards + analysis + bf16 all_to_all -> rows
+            rows = analyze_reshard(ana, axis, d, xh_local[0])
             rows_full = jnp.concatenate([bank_hist, rows], axis=1)
             stream = jnp.concatenate(
                 [stream_tail, resample(rows_full)], axis=1)
             out = (stream, rows) if want_rows else (stream,)
-            return out + (recv, rows_full[:, -H:],
-                          stream[:, -self.T_tail:])
+            return out + (rows_full[:, -H:], stream[:, -self.T_tail:])
 
-        n_out = 5 if want_rows else 4
+        n_out = 4 if want_rows else 3
         self._step = jax.jit(jax.shard_map(
             sstep, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis)),
             out_specs=(P(axis),) * n_out))
         self._state = (
-            jnp.zeros((d * halo_len, 2), jnp.float32),
             jnp.zeros((m, H, 2), jnp.float32),
             jnp.zeros((m, self.T_tail, 2), jnp.float32))
         sh = NamedSharding(mesh, P(axis))
-        self._put = lambda x: jax.device_put(jnp.asarray(x), sh)
+        self._htail = jnp.zeros((halo_len, 2), jnp.float32)
+
+        def put(x):
+            shards, self._htail = overlapped_shards(
+                jnp.asarray(x), self._htail, halo_len, d)
+            return jax.device_put(shards, sh)
+        self._put = put
 
     def _pull(self, n: int) -> np.ndarray:
         """Read n samples from the source (short at EOF), applying the
@@ -435,9 +423,22 @@ class WidebandReceiver:
         self._n_pulled += x.shape[0]
         return x
 
-    def _next_block(self) -> np.ndarray:
-        """Next n_block samples: acquisition replay buffer first, then
-        the source; zero-padded at EOF (which pins n_stream)."""
+    def _next_block(self):
+        """Next n_block on-grid samples: acquisition replay buffer
+        first, then the source; zero-padded at EOF (which pins
+        n_stream).  Off-grid fs: device chunks from the streaming
+        pre-resampler."""
+        if self._pre is not None:
+            if self._replay_dev:
+                x, n_valid = self._replay_dev.pop(0)
+            else:
+                x, n_valid = self._pre.produce_block()
+            self._n_in += int(n_valid)
+            if n_valid < self.n_block and not self._eof:
+                self._eof = True
+                rows = self._n_in // self.chz.analyzer.hop
+                self.n_stream = int(np.floor(rows * self.rrc.ratio))
+            return x
         need = self.n_block
         parts = []
         if self._replay.shape[0]:
@@ -519,11 +520,19 @@ class WidebandReceiver:
         hop = self.chz.analyzer.hop
         rows_acq = (int(np.ceil((scan + 2 * blen) / self.rrc.ratio))
                     + self.rrc.tpb + 2)
-        prefix = self._pull(rows_acq * hop)
-        self._replay = np.concatenate([self._replay, prefix]) \
-            if self._replay.shape[0] else prefix
-        # prefix samples are already grid-prepped (_pull/_prep_wb):
-        # analyze directly — chz.process would apply the prep twice
+        if self._pre is not None:
+            # off-grid: on-grid prefix in block quanta (device), kept
+            # for block-aligned replay into the loop
+            n_chunks = -(-(rows_acq * hop) // self.n_block)
+            chunks = [self._pre.produce_block() for _ in range(n_chunks)]
+            self._replay_dev.extend(chunks)
+            prefix = jnp.concatenate([c for c, _v in chunks], axis=0)
+        else:
+            prefix = self._pull(rows_acq * hop)
+            self._replay = np.concatenate([self._replay, prefix]) \
+                if self._replay.shape[0] else prefix
+        # prefix samples are already on-grid: analyze directly —
+        # chz.process would apply the grid prep twice
         bank = self.chz.analyzer(prefix[:(prefix.shape[0] // hop) * hop])
         streams = self.rrc(jnp.moveaxis(bank, 1, 0))
         acq_len = min(scan + 2 * blen, int(streams.shape[1]))
