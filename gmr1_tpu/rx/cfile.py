@@ -81,6 +81,51 @@ class ArraySource(SampleSource):
         return out
 
 
+class BoundedStream:
+    """ArrayStream-compatible sliding window over a streamed feed.
+
+    Absolute indexing: `window(begin, length)` addresses positions in
+    the full logical stream; positions older than the trimmed base and
+    positions past the fed frontier both return None.  `len()` is the
+    current frontier, which equals the total stream length once the
+    feed ends — so the Receiver's end-of-capture bound checks behave
+    exactly as over the fully materialized array.
+
+    This is the streaming role of the reference flowgraph's per-carrier
+    output queue between the channelizer and each decoder process
+    (utils/gmr1_rx_sdr.py:566-589): the producer `feed`s chunks, the
+    consumer decodes forward and `trim`s what it can never revisit, so
+    retained memory is O(consumer lag), not O(capture).
+    """
+
+    def __init__(self):
+        self._base = 0
+        self._buf = np.zeros((0, 2), np.float32)
+        self.high_water = 0       # max retained samples (memory telemetry)
+
+    def __len__(self) -> int:
+        return self._base + self._buf.shape[0]
+
+    def feed(self, chunk: np.ndarray) -> None:
+        chunk = np.asarray(chunk, np.float32)
+        self._buf = np.concatenate([self._buf, chunk]) \
+            if self._buf.shape[0] else chunk
+        self.high_water = max(self.high_water, self._buf.shape[0])
+
+    def trim(self, keep_from: int) -> None:
+        """Drop samples before absolute position keep_from."""
+        cut = min(max(keep_from - self._base, 0), self._buf.shape[0])
+        if cut:
+            self._buf = self._buf[cut:]
+            self._base += cut
+
+    def window(self, begin: int, length: int) -> np.ndarray | None:
+        if begin < self._base or begin + length > len(self):
+            return None
+        b = begin - self._base
+        return self._buf[b:b + length]
+
+
 def load(path: str) -> CFile:
     return CFile(path)
 

@@ -60,6 +60,7 @@ class ChanDesc:           # gmr1_rx.c:93-115
     fn: int = 0
     sa_sirfn_delay: int = 0
     sa_bcch_stn: int = 0
+    bcch_energy: float = float("nan")   # gmr1_rx.c:858 (local in ref)
     tch3: Tch3State = field(default_factory=Tch3State)
     tch9: Tch9State = field(default_factory=Tch9State)
 
@@ -378,21 +379,25 @@ class Receiver:
 
     # --- TDMA loop (gmr1_rx.c:852-895) -----------------------------------
 
+    def _frame_step(self, cd: ChanDesc) -> None:
+        """One TDMA frame of the per-beam FSM walk (the body of the
+        reference's process loop, gmr1_rx.c:856-895)."""
+        sirfn = (cd.fn - cd.sa_sirfn_delay) & 63
+        if sirfn % 8 == 2:
+            e = self.rx_bcch(cd)
+            if e is not None:
+                cd.bcch_energy = e
+        if sirfn % 8 not in (0, 2):
+            self.rx_ccch(cd, cd.bcch_energy / 2.0)
+        self.rx_tch3(cd)
+        self.rx_tch9(cd)
+        cd.fn += 1
+        cd.align += self.sps * 24 * 39
+
     def process_bcch(self, cd: ChanDesc) -> None:
         frame_len = self.sps * 24 * 39
-        bcch_energy = float("nan")
         while True:
-            sirfn = (cd.fn - cd.sa_sirfn_delay) & 63
-            if sirfn % 8 == 2:
-                e = self.rx_bcch(cd)
-                if e is not None:
-                    bcch_energy = e
-            if sirfn % 8 not in (0, 2):
-                self.rx_ccch(cd, bcch_energy / 2.0)
-            self.rx_tch3(cd)
-            self.rx_tch9(cd)
-            cd.fn += 1
-            cd.align += frame_len
+            self._frame_step(cd)
             if cd.align + 2 * frame_len > len(self.bcch):
                 break
 
@@ -411,3 +416,80 @@ class Receiver:
             cdl.align = self._base_align + t
             self.process_bcch(cdl)
         return len(self.frames)
+
+    # --- incremental drive over a growing stream --------------------------
+
+    def _acq_need(self) -> int:
+        """Stream prefix (samples) that guarantees every acquisition
+        window access succeeds: the 330 ms rough scan from START_DISCARD
+        plus the 650 ms multi-beam window anchored <= one burst before
+        the refined primary TOA (fcch_single_init + fcch_multi_scan)."""
+        n330 = (330 * SYM_RATE * self.sps) // 1000
+        n650 = (650 * SYM_RATE * self.sps) // 1000
+        blen = self.fcch_type.len_syms * self.sps
+        return START_DISCARD + n330 + n650 + blen
+
+    def stream_run(self, eof: bool = False) -> bool:
+        """Incremental run() over a growing stream (cfile.BoundedStream).
+
+        Call after each feed; processes every TDMA frame whose data is
+        fully resident and returns without blocking for more.  With
+        eof=True it drains to the exact end bound of the offline run().
+        Per-beam frame sets are identical to run(); only the emission
+        ORDER differs (beams interleave per block instead of completing
+        sequentially).  Returns True once fully done.  The caller may
+        trim() the stream below `stream_keep_from()` between calls."""
+        if getattr(self, "_s_phase", None) is None:
+            self._s_phase, self._s_beams = "acq", []
+        if self._s_phase == "done":
+            return True
+        frame_len = self.sps * 24 * 39
+        if self._s_phase == "acq":
+            if len(self.bcch) < self._acq_need() and not eof:
+                return False
+            cd = ChanDesc(sps=self.sps)
+            if not self.fcch_single_init(cd):
+                self._log("[!] primary FCCH acquisition failed")
+                self._s_phase = "done"
+                return True
+            self._log(f"[+] Primary FCCH @{cd.align} "
+                      f"freq_err={cd.freq_err * SYM_RATE / 2 / np.pi:.1f} Hz")
+            for t in self.fcch_multi_scan(cd):
+                cdl = copy.deepcopy(cd)
+                cdl.align = self._base_align + t
+                # [cd, started, done]: run()'s do-while processes the
+                # first frame unconditionally, later frames only while
+                # align + 2 frames fits the stream
+                self._s_beams.append([cdl, False, False])
+            self._s_phase = "frames"
+        done = True
+        for beam in self._s_beams:
+            cd, started, bdone = beam
+            if bdone:
+                continue
+            while True:
+                fits = cd.align + 2 * frame_len <= len(self.bcch)
+                if not started:
+                    if not (fits or eof):
+                        break
+                    started = beam[1] = True
+                elif not fits:
+                    if eof:
+                        bdone = beam[2] = True
+                    break
+                self._frame_step(cd)
+            done = done and bdone
+        if done and eof:
+            self._s_phase = "done"
+        return self._s_phase == "done"
+
+    def stream_keep_from(self) -> int:
+        """Oldest absolute stream position a future stream_run() call
+        may still read (burst windows reach back e_toa before align;
+        SI1 slot realign can move align back by up to ~1 frame)."""
+        if getattr(self, "_s_phase", None) in (None, "acq"):
+            return 0
+        live = [b[0].align for b in self._s_beams if not b[2]]
+        if not live:
+            return len(self.bcch)
+        return max(0, min(live) - 2 * self.sps * 24 * 39)

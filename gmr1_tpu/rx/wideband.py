@@ -75,9 +75,10 @@ from ..sdr import bursts as BU
 from ..sdr import dkab, fcch, modem
 from ..sdr.defs import SYM_RATE
 from . import gsmtap
-from .receiver import (ChanDesc, bcch_tdma_align, ccch_imm_ass_parse,
-                       ccch_is_imm_ass, facch3_ass_cmd_1_parse,
-                       facch3_is_ass_cmd_1)
+from .cfile import BoundedStream
+from .receiver import (ChanDesc, Receiver, bcch_tdma_align,
+                       ccch_imm_ass_parse, ccch_is_imm_ass,
+                       facch3_ass_cmd_1_parse, facch3_is_ass_cmd_1)
 
 ROWS_PER_FRAME = 2500     # bank rows per TDMA frame: 936*62500/23400
 
@@ -348,10 +349,21 @@ class WidebandReceiver:
                     stream[:, -self.T_tail:])
 
         # wide-carrier streamed synthesizers consume the block's bank
-        # rows; only return them from the step when configured
+        # rows; only return them from the step when configured.  Each
+        # wide channel gets a BoundedStream + an incrementally driven
+        # Receiver (stream_run), so wide carriers decode DURING the
+        # block loop with O(block) retained memory — the reference
+        # splits and decodes wide channels in the same streaming
+        # flowgraph (utils/gmr1_rx_sdr.py:566-589).
         self._wide = [self.chz.wide_streamer(ch, self.R_b)
                       for ch in self.wide_channels]
-        self._wide_chunks = [[] for _ in self._wide]
+        self._wide_streams = [BoundedStream() for _ in self._wide]
+        self._wide_rx = [
+            Receiver(bs, self.sps, tch_file=bs, tch_csd_file=bs,
+                     kc=self.kc.tobytes(), fcch_type=self.fcch_type,
+                     verbose=self.verbose)
+            for bs in self._wide_streams]
+        self._wide_fwd = [0] * len(self._wide)
         want_rows = bool(self._wide)
 
         if self.mesh is None:
@@ -468,8 +480,8 @@ class WidebandReceiver:
         if self._wide:
             self.streams, rows = out[0], out[1]
             self._state = out[2:]
-            for ws, chunks in zip(self._wide, self._wide_chunks):
-                chunks.append(ws.feed(rows))
+            for ws, bs in zip(self._wide, self._wide_streams):
+                bs.feed(ws.feed(rows))
         else:
             self.streams, self._state = out[0], out[1:]
         self._buf0 = b * self.S_b - self.T_tail
@@ -1094,33 +1106,47 @@ class WidebandReceiver:
 
     # --- wide carriers (width 2/3/5) --------------------------------------
 
-    def _process_wide(self) -> None:
-        """Per configured wide channel: run the per-carrier Receiver
-        over the assembled synthesizer stream (the reference's
-        split-then-decode architecture: channelizer output file ->
-        gmr1_rx, utils/gmr1_process_recording.py:89-110)."""
-        from .cfile import ArrayStream
-        from .receiver import Receiver
+    def _fwd_wide(self, i: int) -> None:
+        """Forward wide channel i's newly decoded frames (ARFCN-tagged)
+        as they appear — wide frames emit DURING the run, not at EOF."""
+        ch, rxw = self.wide_channels[i], self._wide_rx[i]
+        for (t, fn, tn, l2b) in rxw.frames[self._wide_fwd[i]:]:
+            self.frames.append((ch.arfcn, t, fn, tn, l2b))
+            if self.sink is not None:
+                self.sink.send(t, fn, tn, l2b, arfcn=ch.arfcn)
+        self._wide_fwd[i] = len(rxw.frames)
 
-        for ch, chunks in zip(self.wide_channels, self._wide_chunks):
-            if not chunks:
+    def _step_wide(self, eof: bool = False) -> None:
+        """Advance every wide channel's incremental Receiver over the
+        samples its BoundedStream currently holds, then trim the stream
+        to the receiver's look-back bound: host memory stays O(block)
+        for the whole capture (the reference's split-then-decode
+        pipeline, utils/gmr1_process_recording.py:89-110, as one
+        streaming program)."""
+        t = time.perf_counter()
+        for i, (bs, rxw) in enumerate(zip(self._wide_streams,
+                                          self._wide_rx)):
+            rxw.stream_run(eof=eof)
+            bs.trim(rxw.stream_keep_from())
+            self._fwd_wide(i)
+        self._tick("wide_host", t)
+
+    def _process_wide(self) -> None:
+        """EOF drain + per-channel result carriers for the wide path
+        (incremental decode happens in _step_wide during the run)."""
+        if self._wide:
+            self._step_wide(eof=True)
+        for i, (ch, rxw) in enumerate(zip(self.wide_channels,
+                                          self._wide_rx)):
+            if not len(self._wide_streams[i]):
                 continue
-            stream = ArrayStream(np.concatenate(chunks, axis=0))
-            rxw = Receiver(stream, self.sps, tch_file=stream,
-                           kc=self.kc.tobytes(), tch_csd_file=stream,
-                           fcch_type=self.fcch_type, verbose=self.verbose)
-            n = rxw.run()
             col = self.chz.freq2index(ch.frequency)
             car = _Carrier(col=-1 if col is None else col, arfcn=ch.arfcn,
                            cd=ChanDesc(sps=self.sps), snr=float("nan"))
             car.speech, car.csd = rxw.speech, rxw.csd
-            for (t, fn, tn, l2b) in rxw.frames:
-                car.frames.append((t, fn, tn, l2b))
-                self.frames.append((ch.arfcn, t, fn, tn, l2b))
-                if self.sink is not None:
-                    self.sink.send(t, fn, tn, l2b, arfcn=ch.arfcn)
+            car.frames = list(rxw.frames)
             self.wide_carriers.append(car)
-            self._log(f"[+] wide {ch}: {n} L2 frames")
+            self._log(f"[+] wide {ch}: {len(rxw.frames)} L2 frames")
 
     # --- top level --------------------------------------------------------
 
@@ -1163,6 +1189,8 @@ class WidebandReceiver:
                       if not c.done and self._ready(c)]
             if active:
                 self._process_block(active)
+            if self._wide:
+                self._step_wide()
             b += 1
         self._process_wide()
         return len(self.frames)

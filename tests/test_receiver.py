@@ -259,6 +259,33 @@ def test_tch9_handoff_and_facch9(e2e):
     assert f9l2 in f9
 
 
+def test_stream_run_parity(e2e):
+    """Feeding the capture incrementally through a BoundedStream and
+    stream_run() (the wideband receiver's wide-carrier drive) decodes
+    the same frame/speech/CSD multisets as the offline run(), while
+    trim() keeps retained memory at O(acquisition prefix + feed lag)
+    instead of O(capture)."""
+    from gmr1_tpu.rx.cfile import BoundedStream
+
+    rx, *_ = e2e
+    data = np.asarray(rx.bcch.data)
+    bs = BoundedStream()
+    rx2 = Receiver(bs, SPS, tch_file=bs, tch_csd_file=bs)
+    chunk = 2 * FRAME_LEN
+    for i in range(0, data.shape[0], chunk):
+        bs.feed(data[i:i + chunk])
+        rx2.stream_run()
+        bs.trim(rx2.stream_keep_from())
+    rx2.stream_run(eof=True)
+    # parity under trimming proves the keep bound is sufficient (a
+    # dropped-but-needed sample would miss its window and diverge);
+    # the high-water mark proves trimming actually happens
+    assert sorted(rx2.frames) == sorted(rx.frames)
+    assert sorted(rx2.speech) == sorted(rx.speech)
+    assert sorted(rx2.csd) == sorted(rx.csd)
+    assert bs.high_water <= rx2._acq_need() + 2 * chunk
+
+
 def test_tch9_csd_stream(e2e):
     """9k6 CSD bursts decode through the depth-3 inter-burst
     deinterleaver with the documented 2-burst latency (tch9.c:109)."""
