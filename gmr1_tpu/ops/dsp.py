@@ -110,12 +110,26 @@ def peak_energy_find(v, wl: int, mode: str):
     role to osmo_cxvec_peak_energy_find (pi4cxpsk.c:240, fcch.c:238,596).
     """
     v = jnp.asarray(v, jnp.float32)
-    e = cplx.abs2(v)
+    return _peak_from_energy(cplx.abs2(v), v, wl, mode)
+
+
+def peak_find_energy(e, wl: int, mode: str):
+    """peak_energy_find on PRECOMPUTED energies (..., N): returns the
+    fractional peak position only.  Both the windowed argmax and the
+    sub-sample refinement (energy-ratio / energy-centroid) are invariant
+    to a per-batch positive scale of e — which is what lets the
+    incremental FCCH scan skip the one-shot global sig_normalize."""
+    toa, _ = _peak_from_energy(jnp.asarray(e, jnp.float32), None, wl, mode)
+    return toa
+
+
+def _peak_from_energy(e, v, wl: int, mode: str):
     n = e.shape[-1]
     half = wl // 2
     ew = _moving_sum(e, wl)
     idx = jnp.argmax(ew, axis=-1)
-    peak_val = jnp.take_along_axis(v, idx[..., None, None], axis=-2)[..., 0, :]
+    peak_val = None if v is None else jnp.take_along_axis(
+        v, idx[..., None, None], axis=-2)[..., 0, :]
 
     if mode == PEAK_EARLY_LATE:
         im = jnp.clip(idx - 1, 0, n - 1)

@@ -93,20 +93,42 @@ def _pad_cnt(n: int) -> int:
     return -(-n // 128) * 128
 
 
+@partial(jax.jit, static_argnames=("ft", "sps", "t_tail"))
+def _acq_pwr_block(ft, buf, sps: int, t_tail: int):
+    """Incremental FCCH scan, one block: symbol-rate dual-chirp
+    correlation power for the windows ENDING in this block's new
+    samples.  buf: the (M, T_buf, 2) ingest stream buffer (T_tail tail
+    + S_b new); returns (M, S_b/sps) — concatenating blocks yields the
+    one-shot scan's power series offset by len_syms-1 (see acquire)."""
+    y = buf[:, ::sps]                   # tail start is sps-aligned
+    seg = jax.lax.slice_in_dim(
+        y, t_tail // sps - (ft.len_syms - 1), y.shape[1], axis=1)
+    return fcch.scan_pwr(ft, seg)
+
+
+@partial(jax.jit, static_argnames=("ft", "sps", "blen"))
+def _acq_fine_snr(ft, w3, off, sps: int, blen: int):
+    """Fine TOA + freq err + SNR per candidate from its margin window
+    w3 (C, 3*blen, 2) with the rough TOA at offset `off` (C,).  Returns
+    (rel int32 in [0, 2*blen] — refined TOA relative to the window —,
+    freq_err, snr).  The clip only binds for noise channels whose
+    spurious fine TOA exceeds +-blen; real carriers' fine TOA is a few
+    samples and matches the one-shot form exactly."""
+    def cut(w, o):
+        return jax.lax.dynamic_slice(w, (o, 0), (blen, 2))
+    wf = jax.vmap(cut)(w3, off)
+    toa_f, ferr = fcch.fine(ft, wf, sps)
+    rel = jnp.clip(off + toa_f, 0, 2 * blen).astype(jnp.int32)
+    ws = jax.vmap(cut)(w3, rel)
+    return rel, ferr, fcch.snr(ft, ws, sps, -ferr)
+
+
 def _energy(w):
     """Mean |x|^2 excluding len>>5 border samples (gmr1_rx.c:172-182),
     batched on device."""
     n = w.shape[-2]
     b = n >> 5
     return jnp.sum(cplx.abs2(w[..., b:n - b, :]), axis=-1) / n
-
-
-@partial(jax.jit, static_argnames=("wlen",))
-def _windows(streams, idx, wlen: int):
-    """streams (C, Ns, 2), idx (C, F) int32 -> (C, F, wlen, 2)."""
-    def one(s, ix):
-        return s[ix[:, None] + jnp.arange(wlen)]
-    return jax.vmap(one)(streams, idx)
 
 
 @partial(jax.jit, static_argnames=("wlen",))
@@ -512,63 +534,154 @@ class WidebandReceiver:
 
     # --- acquisition ---------------------------------------------------
 
+    def _acq_pull_blocks(self, n_abl: int):
+        """Pull n_abl ingest blocks from the source, KEEPING them for
+        replay into the main loop (samples consume strictly forward).
+        Returns (block list padded to n_block, valid input samples)."""
+        blocks, valid = [], 0
+        if self._pre is not None:
+            # off-grid: on-grid blocks from the streaming pre-resampler
+            # (device), kept for block-aligned replay into the loop
+            for _ in range(n_abl):
+                x, nv = self._pre.produce_block()
+                self._replay_dev.append((x, nv))
+                blocks.append(x)
+                valid += int(nv)
+            return blocks, valid
+        for _ in range(n_abl):
+            x = self._pull(self.n_block)
+            if x.shape[0]:
+                self._replay = np.concatenate([self._replay, x]) \
+                    if self._replay.shape[0] else x
+            valid += x.shape[0]
+            if x.shape[0] < self.n_block:
+                x = np.concatenate(
+                    [x, np.zeros((self.n_block - x.shape[0], 2),
+                                 np.float32)])
+            blocks.append(x)
+        return blocks, valid
+
+    def _acq_replay(self, blocks):
+        """Iterate (block_idx, stream_buffer) by streaming `blocks`
+        through the SAME jitted ingest step as the main loop, from
+        fresh state (self._state is never mutated; the mesh-mode host
+        halo is saved/restored around the pass)."""
+        h0 = getattr(self, "_htail", None)
+        state, k = self._state, 2 if self._wide else 1
+        try:
+            for b, x in enumerate(blocks):
+                out = self._step(self._put(x), *state)
+                state = out[k:]
+                yield b, out[0]
+        finally:
+            if h0 is not None:
+                self._htail = h0
+
     def acquire(self) -> list[_Carrier]:
         """Batched FCCH scan over every grid channel (fcch_single_init
         of gmr1_rx.c:605 vectorized across the whole transponder), with
         optional multi-beam forking (`beams` > 1, gmr1_rx.c:643-741).
 
-        Runs once on an analysis of the capture PREFIX (the 330 ms
-        primary scan + a 650 ms multi-beam window when beams > 1);
-        the block loop then streams from sample 0."""
+        INCREMENTAL: the capture prefix (330 ms primary scan / 650 ms
+        multi-beam window) streams through the same block ingest as the
+        main loop.  Pass 1 accumulates only symbol-rate dual-chirp
+        correlation power per block (the whole-window scan of
+        fcch.c:212-342 re-ordered as windows-ending-in-this-block;
+        scale-free, see fcch.scan_pwr) — the O(prefix) bank/stream/RRC
+        spike of a one-shot analysis (~1 GB at 34 MHz, beams=2) becomes
+        one O(block) buffer plus an (M, 650 ms) symbol-rate power map
+        (~65 MB).  Pass 2 replays the kept blocks and gathers only each
+        candidate's fine/SNR window (+-burst margin).  The block loop
+        then streams from sample 0 via the same replay."""
         sps, ft = self.sps, self.fcch_type
         blen = ft.len_syms * sps
+        B = ft.len_syms
         n330 = (330 * SYM_RATE * sps) // 1000
         n650 = (650 * SYM_RATE * sps) // 1000
         scan = n330 if self.beams <= 1 else n650
-
-        # pull the scan prefix from the source and keep it for replay
-        # into the block loop (samples are consumed strictly forward)
+        acq_len = scan + 2 * blen
         m = self.chz.n_chans
         hop = self.chz.analyzer.hop
-        rows_acq = (int(np.ceil((scan + 2 * blen) / self.rrc.ratio))
-                    + self.rrc.tpb + 2)
-        if self._pre is not None:
-            # off-grid: on-grid prefix in block quanta (device), kept
-            # for block-aligned replay into the loop
-            n_chunks = -(-(rows_acq * hop) // self.n_block)
-            chunks = [self._pre.produce_block() for _ in range(n_chunks)]
-            self._replay_dev.extend(chunks)
-            prefix = jnp.concatenate([c for c, _v in chunks], axis=0)
-        else:
-            prefix = self._pull(rows_acq * hop)
-            self._replay = np.concatenate([self._replay, prefix]) \
-                if self._replay.shape[0] else prefix
-        # prefix samples are already on-grid: analyze directly —
-        # chz.process would apply the grid prep twice
-        bank = self.chz.analyzer(prefix[:(prefix.shape[0] // hop) * hop])
-        streams = self.rrc(jnp.moveaxis(bank, 1, 0))
-        acq_len = min(scan + 2 * blen, int(streams.shape[1]))
-        if acq_len < n330 + blen:
+        s_sym = self.S_b // sps
+        n_corr = -(-(scan + blen) // sps) - B + 1
+        n_abl = -(-acq_len // self.S_b)
+
+        blocks, valid_in = self._acq_pull_blocks(n_abl)
+        avail_out = int(np.floor((valid_in // hop) * self.rrc.ratio))
+        if avail_out < n330 + blen:
             raise ValueError("capture shorter than the 330 ms FCCH scan")
 
+        # ---- pass 1: correlation-power scan -----------------------------
+        parts = [_acq_pwr_block(ft, buf, sps, self.T_tail)
+                 for _, buf in self._acq_replay(blocks)]
+        pwr = jnp.concatenate(parts, axis=1)[:, B - 1:B - 1 + n_corr]
+        del parts
         if self.beams <= 1:
-            toa_r = np.asarray(
-                fcch.rough(ft, streams[:, :n330 + blen], sps))[:, None]
+            toa_r = np.asarray(jax.device_get(
+                fcch.rough_from_pwr(ft, pwr, sps)))[:, None]
             valid = np.ones_like(toa_r, bool)
         else:
-            toa_r, valid = fcch.rough_multi_batch(
-                ft, streams[:, :min(n650 + blen, acq_len)], sps,
-                k=self.beams)                       # (M, beams)
-        toa_r = jnp.asarray(
-            np.clip(toa_r, 0, acq_len - 2 * blen).astype(np.int32))
-        w_fine = _windows(streams, toa_r, blen)     # (M, beams, blen, 2)
-        toa_f, ferr = fcch.fine(ft, w_fine, sps)
-        toa = jnp.clip(toa_r + toa_f, 0, acq_len - blen - 1)
-        w_snr = _windows(streams, toa, blen)
-        snr = fcch.snr(ft, w_snr, sps, -ferr)
+            toa_r, valid = fcch.rough_multi_batch_pwr(ft, pwr, sps,
+                                                      k=self.beams)
+        del pwr
+        toa_r = np.clip(toa_r, 0, acq_len - 2 * blen).astype(np.int64)
 
-        toa, ferr, snr = _fetch((toa, ferr, snr))
-        snr = np.where(valid, snr, np.nan)
+        # ---- pass 2: gather candidate fine/SNR windows ------------------
+        # candidates: every valid (col, beam); an arfcn filter prunes
+        # here already (the one-shot form computed fine/snr for all M
+        # and filtered at carrier construction — same observable result)
+        total = n_abl * self.S_b
+        wlen = 3 * blen                     # [toa_r - blen, toa_r + 2*blen)
+        cand = []                           # (col, beam, s0)
+        per_block: list[list[int]] = [[] for _ in range(n_abl)]
+        for col in range(m):
+            if self.arfcn_filter is not None \
+               and self._col2arfcn(col) not in self.arfcn_filter:
+                continue
+            for k in range(toa_r.shape[1]):
+                if not valid[col, k]:
+                    continue
+                s0 = min(max(int(toa_r[col, k]) - blen, 0), total - wlen)
+                bw = max(0, -(-(s0 + wlen) // self.S_b) - 1)
+                per_block[bw].append(len(cand))
+                cand.append((col, k, s0))
+
+        gathered: list = [None] * len(cand)
+        if cand:
+            for b, buf in self._acq_replay(blocks):
+                grp = per_block[b]
+                if not grp:
+                    continue
+                n_pad = _pad_cnt(len(grp))
+                pad = n_pad - len(grp)
+                cols = np.asarray(
+                    [cand[ci][0] for ci in grp] + [cand[grp[0]][0]] * pad,
+                    np.int32)
+                base = b * self.S_b - self.T_tail
+                starts = np.asarray(
+                    [[cand[ci][2] - base] for ci in grp]
+                    + [[cand[grp[0]][2] - base]] * pad, np.int32)
+                w = _windows_rows(buf, jnp.asarray(cols),
+                                  jnp.asarray(starts), wlen)[:, 0]
+                for j, ci in enumerate(grp):
+                    gathered[ci] = w[j]
+
+        toa = np.zeros(toa_r.shape, np.int64)
+        ferr = np.zeros(toa_r.shape, np.float32)
+        snr = np.full(toa_r.shape, np.nan, np.float32)  # non-cand: skip
+        if cand:
+            n_pad = _pad_cnt(len(cand))
+            w3 = jnp.stack(gathered + [gathered[0]] * (n_pad - len(cand)))
+            off = np.asarray(
+                [int(toa_r[c, k]) - s0 for c, k, s0 in cand]
+                + [int(toa_r[cand[0][0], cand[0][1]]) - cand[0][2]]
+                * (n_pad - len(cand)), np.int32)
+            rel, ferr_c, snr_c = _fetch(_acq_fine_snr(
+                ft, w3, jnp.asarray(off), sps, blen))
+            for ci, (c, k, s0) in enumerate(cand):
+                toa[c, k] = s0 + int(rel[ci])
+                ferr[c, k] = float(ferr_c[ci])
+                snr[c, k] = float(snr_c[ci])
         self.carriers = []
         for col in range(m):
             arfcn = self._col2arfcn(col)

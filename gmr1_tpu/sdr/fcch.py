@@ -140,6 +140,33 @@ def snr(burst: FcchBurst, x, sps: int, freq_shift=0.0):
 _LW_MS = 320   # scan window / SI periodicity (fcch.c:380-383)
 
 
+@partial(jax.jit, static_argnames=("burst",))
+def scan_pwr(burst: FcchBurst, seg):
+    """Incremental-scan building block: dual-chirp correlation POWER of
+    a symbol-rate segment (..., L, 2) -> (..., L - len_syms + 1).
+
+    Feeding consecutive overlapping segments (each extended len_syms-1
+    symbols into the past) and concatenating yields the same power
+    series the one-shot rough()/rough_multi() compute over the whole
+    window — up to a per-carrier positive scale, because this skips
+    sig_normalize.  Every downstream consumer (windowed-argmax +
+    centroid refinement, avg+3*std threshold, power-ORDERED beam dedup)
+    is invariant to that scale, so the scan can stream block-by-block
+    without ever holding the whole prefix (fcch.c:212-342 re-ordered as
+    windows-ending-in-this-block)."""
+    corr = dsp.correlate_conv(_chirp_np(burst, 1, "dual"), seg)
+    return cplx.abs2(corr)
+
+
+@partial(jax.jit, static_argnames=("burst", "sps"))
+def rough_from_pwr(burst: FcchBurst, pwr, sps: int):
+    """rough() from accumulated correlation power (..., n): same
+    windowed peak + centroid refinement, returns int32 TOA in input
+    samples (scale-free; see scan_pwr)."""
+    toa = dsp.peak_find_energy(pwr, 5, dsp.PEAK_WEIGH_WIN)
+    return jnp.round(toa * sps).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("burst", "sps"))
 def _rough_multi_device(burst: FcchBurst, x, sps: int, freq_shift):
     """Device half of rough_multi: correlation power, periodicity mix,
@@ -149,8 +176,13 @@ def _rough_multi_device(burst: FcchBurst, x, sps: int, freq_shift):
     """
     y = dsp.sig_normalize(x, sps, freq_shift)
     corr = dsp.correlate_conv(_chirp_np(burst, 1, "dual"), y)
-    pwr = cplx.abs2(corr)
+    return _rough_multi_pwr(burst, cplx.abs2(corr))
 
+
+@partial(jax.jit, static_argnames=("burst",))
+def _rough_multi_pwr(burst: FcchBurst, pwr):
+    """Periodicity mix + threshold from correlation power (pwr may be
+    unnormalized — every output is scale-equivariant or -invariant)."""
     lw = (_LW_MS * SYM_RATE) // 1000 + burst.len_syms
     lp = (_LW_MS * SYM_RATE) // 1000
 
@@ -239,6 +271,21 @@ def rough_multi(burst: FcchBurst, x, sps: int, freq_shift=0.0,
                          int(n_lp), half, n)
 
 
+def _beams_from_mixed(burst, sps, k, mixed, th, n_lp, lp_ok):
+    """Host half of the batched multi-beam scan: per carrier, rising-
+    edge candidates + Lp-wrapped power-ordered dedup."""
+    half = (burst.len_syms * sps) >> 1
+    m = mixed.shape[0]
+    toas = np.full((m, k), -1, np.int64)
+    for c in range(m):
+        if not lp_ok[c]:
+            continue
+        got = _dedup_insert(_edge_candidates(mixed[c], float(th[c]), sps),
+                            int(n_lp[c]), half, k)
+        toas[c, :len(got)] = got
+    return toas, toas >= 0
+
+
 def rough_multi_batch(burst: FcchBurst, x, sps: int, k: int = 4,
                       freq_shift=0.0):
     """Batched multi-beam rough acquisition over carriers.
@@ -252,12 +299,13 @@ def rough_multi_batch(burst: FcchBurst, x, sps: int, k: int = 4,
     fs = jnp.broadcast_to(jnp.asarray(freq_shift, jnp.float32), (m,))
     mixed, th, n_lp, lp_ok = jax.device_get(jax.vmap(
         lambda xx, ff: _rough_multi_device(burst, xx, sps, ff))(x, fs))
-    half = (burst.len_syms * sps) >> 1
-    toas = np.full((m, k), -1, np.int64)
-    for c in range(m):
-        if not lp_ok[c]:
-            continue
-        got = _dedup_insert(_edge_candidates(mixed[c], float(th[c]), sps),
-                            int(n_lp[c]), half, k)
-        toas[c, :len(got)] = got
-    return toas, toas >= 0
+    return _beams_from_mixed(burst, sps, k, mixed, th, n_lp, lp_ok)
+
+
+def rough_multi_batch_pwr(burst: FcchBurst, pwr, sps: int, k: int = 4):
+    """rough_multi_batch from ACCUMULATED correlation power (M, n) —
+    the incremental-scan form (see scan_pwr for why normalization is
+    unnecessary)."""
+    mixed, th, n_lp, lp_ok = jax.device_get(jax.vmap(
+        lambda p: _rough_multi_pwr(burst, p))(jnp.asarray(pwr)))
+    return _beams_from_mixed(burst, sps, k, mixed, th, n_lp, lp_ok)

@@ -112,3 +112,53 @@ def test_rough_multi_dedups_periodic_copies(rng):
     toas = fcch.rough_multi(burst, cap, SPS)
     strong = [t for t in toas if abs((t % lp) - (pos % lp)) <= lp // 4]
     assert len(strong) == 1
+
+
+def test_incremental_scan_matches_one_shot(rng):
+    """The block-streamed scan (scan_pwr on windows-ending-in-block
+    segments + rough_from_pwr / rough_multi_batch_pwr) finds the same
+    TOAs as the one-shot rough()/rough_multi_batch() — the basis of the
+    wideband receiver's incremental acquisition."""
+    burst = fcch.FCCH
+    B = burst.len_syms
+    n = (330 * SYM_RATE * SPS) // 1000 + B * SPS
+    caps = np.stack([
+        np.asarray(make_capture(rng, burst, SPS, [p], n))
+        for p in (5000, 20000)])
+
+    # one-shot
+    toa_ref = np.asarray(fcch.rough(burst, caps, SPS))
+
+    # block-streamed: symbol-rate decimation, segments overlap B-1
+    y = caps[:, ::SPS]
+    s_sym = 1872                        # ~block quantum, not a divisor
+    parts = []
+    for b in range(-(-y.shape[1] // s_sym)):
+        lo = max(0, b * s_sym - (B - 1))
+        seg = y[:, lo:(b + 1) * s_sym]
+        if seg.shape[1] >= B:
+            parts.append(np.asarray(fcch.scan_pwr(burst, seg)))
+    pwr = np.concatenate(parts, axis=1)
+    n_corr = y.shape[1] - B + 1
+    assert pwr.shape[1] >= n_corr
+    toa_inc = np.asarray(fcch.rough_from_pwr(burst, pwr[:, :n_corr], SPS))
+    assert np.array_equal(toa_inc, toa_ref)
+
+
+def test_incremental_multi_beam_matches_one_shot(rng):
+    burst = fcch.FCCH
+    B = burst.len_syms
+    n = (650 * SYM_RATE * SPS) // 1000 + B * SPS
+    lp = (320 * SYM_RATE * SPS) // 1000
+    caps = np.stack([
+        np.asarray(make_capture(rng, burst, SPS,
+                                [3000, 3000 + lp, 21000, 21000 + lp], n))
+        for _ in range(2)])
+    toa_ref, valid_ref = fcch.rough_multi_batch(burst, caps, SPS, k=3)
+
+    y = caps[:, ::SPS]
+    pwr = np.asarray(fcch.scan_pwr(burst, y))
+    toa_inc, valid_inc = fcch.rough_multi_batch_pwr(burst, pwr, SPS, k=3)
+    assert np.array_equal(valid_inc, valid_ref)
+    # scale-free power can flip sub-sample rounding at the last ulp
+    assert np.abs(toa_inc - toa_ref).max() <= 1
