@@ -56,8 +56,8 @@ def main(argv=None) -> int:
                     help="wide carrier spec like 500x3 (repeatable)")
     ap.add_argument("--stream", action="store_true",
                     help="consume the capture strictly forward in "
-                         "blocks (live-source mode; fs must sit on "
-                         "the 31.25 kHz grid)")
+                         "blocks (live-source mode; off-grid fs "
+                         "resamples per block)")
     ap.add_argument("--csd-out", metavar="FILE",
                     help="append decoded TCH9 CSD payloads (the "
                          "reference's /tmp/csd.data, gmr1_rx.c:342)")
@@ -94,11 +94,17 @@ def main(argv=None) -> int:
             return 1
         arfcns = [int(a) for a in args.arfcns.split(",")] \
             if args.arfcns else None
-        from .cfile import CFileSource
+        from .cfile import CFileSource, SocketSource
         from .wideband import WidebandReceiver
+        if args.wideband.startswith("tcp://"):      # live IQ server
+            host, port = args.wideband[6:].rsplit(":", 1)
+            src = SocketSource(host, int(port))
+        elif args.stream:
+            src = CFileSource(args.wideband)
+        else:
+            src = CFile(args.wideband).data
         rx = WidebandReceiver(
-            CFileSource(args.wideband) if args.stream
-            else CFile(args.wideband).data, args.fs, args.center,
+            src, args.fs, args.center,
             sps=args.sps_opt, kc=kc, sink=sink, arfcns=arfcns,
             snr_min=args.snr_min, fcch_type=ft, verbose=args.verbose,
             beams=args.beams,

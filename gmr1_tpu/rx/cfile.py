@@ -81,6 +81,42 @@ class ArraySource(SampleSource):
         return out
 
 
+class SocketSource(SampleSource):
+    """Live sample source over a TCP stream of interleaved complex64
+    (raw cf32, the wire format rtl_tcp-style IQ servers and GNURadio
+    file/TCP sinks emit) — the headless role of the reference
+    flowgraph's osmosdr hardware source (utils/gmr1_rx_sdr.py:814-868):
+    samples arrive continuously, are consumed strictly forward, and the
+    receiver never sees the capture as a whole.
+
+    `read(n)` blocks until n samples arrived or the peer closed; a
+    short read signals end-of-stream (same contract as every other
+    SampleSource)."""
+
+    def __init__(self, host: str, port: int):
+        import socket
+        self._sock = socket.create_connection((host, port))
+        self._rem = b""
+
+    def read(self, n: int) -> np.ndarray:
+        need = n * 8                       # complex64
+        parts, got = [self._rem], len(self._rem)
+        while got < need:
+            chunk = self._sock.recv(min(1 << 20, need - got))
+            if not chunk:
+                break
+            parts.append(chunk)
+            got += len(chunk)
+        buf = b"".join(parts)
+        take = (min(got, need) // 8) * 8
+        self._rem = buf[take:]
+        out = np.frombuffer(buf[:take], np.float32).reshape(-1, 2)
+        return out
+
+    def close(self) -> None:
+        self._sock.close()
+
+
 class BoundedStream:
     """ArrayStream-compatible sliding window over a streamed feed.
 

@@ -329,6 +329,41 @@ def test_off_grid_fs_wideband_receive():
         assert fn in si1s and l2 == bytes(bytearray(si1s[fn]))
 
 
+def test_socket_source_identical_frames(wb_e2e):
+    """A live TCP IQ stream (SocketSource — the headless role of the
+    reference's osmosdr source) decodes identical frames to the array
+    input: samples arrive over a socket, are consumed strictly forward,
+    and EOF is the peer closing."""
+    import socket
+    import threading
+
+    from gmr1_tpu.rx.cfile import SocketSource
+
+    rx, *_, wb = wb_e2e
+    raw = np.ascontiguousarray(wb, np.complex64).tobytes()  # cf32 wire
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        for i in range(0, len(raw), 1 << 18):
+            conn.sendall(raw[i:i + (1 << 18)])
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    src = SocketSource("127.0.0.1", port)
+    rx2 = WidebandReceiver(src, FS, CENTER, sps=SPS)
+    rx2.run()
+    th.join(timeout=10)
+    src.close()
+    srv.close()
+    assert rx2.frames == rx.frames
+
+
 def test_streamed_source_identical_frames(wb_e2e):
     """Consuming the capture strictly forward through a SampleSource
     (live-source mode: only the acquisition prefix is buffered) decodes
