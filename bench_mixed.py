@@ -140,6 +140,7 @@ def main(argv=None) -> None:
     from gmr1_tpu.channelizer.arfcn import BASE_SYMRATE
     from gmr1_tpu.l1 import bcch, ccch, facch3, tch3, tch9
     from gmr1_tpu.ops import cplx
+    from gmr1_tpu.rx.wideband import _bt_from_demods
     from gmr1_tpu.sdr import bursts as BU
     from gmr1_tpu.sdr import dkab, modem
 
@@ -281,7 +282,6 @@ def main(argv=None) -> None:
             # TCH3 speech slot: energy + DKAB + detect + demod + decode
             # (burst-type detect reuses the demod correlations — the
             # same scores modem.detect computes, rx/wideband.py)
-            from gmr1_tpu.rx.wideband import _bt_from_demods
             ws = windows(c2, g_s)                      # (F, M, n, 2)
             _e = jnp.sum(cplx.abs2(ws), axis=-2)
             rd = dkab.demod(ws, 4, DKP)

@@ -102,8 +102,12 @@ def keystream_np(key, fn: int, nbits: int) -> tuple[np.ndarray, np.ndarray]:
 
 # --- batched JAX version -------------------------------------------------
 
-_TAPS_J = jnp.asarray(_TAPS, dtype=jnp.uint32)
-_MASKS_J = jnp.asarray(_MASKS, dtype=jnp.uint32)
+# numpy on purpose: module-level jnp constants would be STAGED INTO
+# whatever trace happens to be active if this module is first imported
+# inside a jitted function (a lazy import in a traced callee), and the
+# cached tracer then leaks into every later caller (UnexpectedTracerError)
+_TAPS_J = np.asarray(_TAPS, dtype=np.uint32)
+_MASKS_J = np.asarray(_MASKS, dtype=np.uint32)
 
 
 def _jparity(x):
