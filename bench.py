@@ -92,8 +92,14 @@ def main() -> None:
         "bcch_only_vs_baseline": bcch["vs_realtime"],
         "application_msps": app["value"],
         "application_vs_realtime": app["vs_realtime"],
+        "application_steady_msps": app.get("steady_msps"),
         "application_rtts_per_block": app["rtts_per_block"],
         "application_device_wait_share": app["device_wait_share"],
+        "application_sections_s": app.get("sections_s"),
+        # the tunneled chip's host<->device link (~25-70 MB/s D2H, vs
+        # ~1000x on production PCIe) bounds the app number; the link
+        # measurement gives the wall-clock its environment context
+        "application_link": app.get("link"),
     }
 
     # hard regression gate (VERDICT r03 weak #6): compare like-for-like
