@@ -97,7 +97,15 @@ def main(argv=None) -> int:
         from .cfile import CFileSource, SocketSource
         from .wideband import WidebandReceiver
         if args.wideband.startswith("tcp://"):      # live IQ server
-            host, port = args.wideband[6:].rsplit(":", 1)
+            spec = args.wideband[6:]
+            host, sep, port = spec.rpartition(":")
+            if not sep or not port.isdigit():
+                print("[!] tcp:// source needs host:port "
+                      f"(got {args.wideband!r})", file=sys.stderr)
+                return 1
+            # bracketed IPv6 literal: tcp://[::1]:4729
+            if host.startswith("[") and host.endswith("]"):
+                host = host[1:-1]
             src = SocketSource(host, int(port))
         elif args.stream:
             src = CFileSource(args.wideband)

@@ -91,18 +91,26 @@ class SocketSource(SampleSource):
 
     `read(n)` blocks until n samples arrived or the peer closed; a
     short read signals end-of-stream (same contract as every other
-    SampleSource)."""
+    SampleSource).  `timeout` (seconds) bounds how long a stalled peer
+    may hold the receiver: on expiry the stream is treated as ended
+    (short read), matching a peer close."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int, timeout: float | None = None):
         import socket
         self._sock = socket.create_connection((host, port))
+        if timeout is not None:
+            self._sock.settimeout(timeout)
         self._rem = b""
 
     def read(self, n: int) -> np.ndarray:
+        import socket
         need = n * 8                       # complex64
         parts, got = [self._rem], len(self._rem)
         while got < need:
-            chunk = self._sock.recv(min(1 << 20, need - got))
+            try:
+                chunk = self._sock.recv(min(1 << 20, need - got))
+            except socket.timeout:
+                chunk = b""                # stalled peer -> end-of-stream
             if not chunk:
                 break
             parts.append(chunk)
@@ -143,9 +151,13 @@ class BoundedStream:
         return self._base + self._buf.shape[0]
 
     def feed(self, chunk: np.ndarray) -> None:
-        chunk = np.asarray(chunk, np.float32)
-        self._buf = np.concatenate([self._buf, chunk]) \
-            if self._buf.shape[0] else chunk
+        if self._buf.shape[0]:
+            chunk = np.asarray(chunk, np.float32)
+            self._buf = np.concatenate([self._buf, chunk])
+        else:
+            # copy on the aliasing path: a producer that reuses its
+            # buffer after feeding must not corrupt retained samples
+            self._buf = np.array(chunk, np.float32, copy=True)
         self.high_water = max(self.high_water, self._buf.shape[0])
 
     def trim(self, keep_from: int) -> None:

@@ -602,14 +602,17 @@ class WidebandReceiver:
         acq_len = scan + 2 * blen
         m = self.chz.n_chans
         hop = self.chz.analyzer.hop
-        s_sym = self.S_b // sps
-        n_corr = -(-(scan + blen) // sps) - B + 1
         n_abl = -(-acq_len // self.S_b)
 
         blocks, valid_in = self._acq_pull_blocks(n_abl)
         avail_out = int(np.floor((valid_in // hop) * self.rrc.ratio))
         if avail_out < n330 + blen:
             raise ValueError("capture shorter than the 330 ms FCCH scan")
+        # clip the scan to the real stream length (one-shot parity on
+        # captures shorter than the 650 ms multi-beam window): windows
+        # past EOF are zero-padded and would null SI-cycle-mixed
+        # candidates in rough_multi_batch_pwr
+        n_corr = -(-min(scan + blen, avail_out - blen) // sps) - B + 1
 
         # ---- pass 1: correlation-power scan -----------------------------
         parts = [_acq_pwr_block(ft, buf, sps, self.T_tail)
