@@ -38,6 +38,16 @@ def _run(mod_main) -> dict:
     return json.loads(buf.getvalue().strip().splitlines()[-1])
 
 
+def _run_all(mod_main) -> list[dict]:
+    """Like _run, but for benches printing one JSON line per case
+    (bench_viterbi)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod_main([])
+    return [json.loads(ln) for ln in buf.getvalue().strip().splitlines()
+            if ln.startswith("{")]
+
+
 def _last_round() -> dict | None:
     """Parsed JSON of the newest BENCH_r*.json (the round-over-round
     comparison base)."""
@@ -77,9 +87,11 @@ def main() -> None:
     import bench_app
     import bench_mixed
     import bench_transponder
+    import bench_viterbi
 
     mixed = _run(bench_mixed.main)
     bcch = _run(bench_transponder.main)
+    vit = {v["metric"]: v for v in _run_all(bench_viterbi.main)}
     app = _run(bench_app.main)
 
     out = {
@@ -90,9 +102,15 @@ def main() -> None:
         "workload": mixed.get("workload", ""),
         "bcch_only_msps": bcch["value"],
         "bcch_only_vs_baseline": bcch["vs_realtime"],
+        # bursts/s through the three trellis families' REAL decode
+        # chains (BASELINE.md first-class metric; conv.c:335-508)
+        "viterbi_bursts_per_s": {
+            k.removeprefix("viterbi_"): v["value"] for k, v in vit.items()},
         "application_msps": app["value"],
         "application_vs_realtime": app["vs_realtime"],
         "application_steady_msps": app.get("steady_msps"),
+        "application_device_msps": app.get("device_msps"),
+        "application_device_vs_realtime": app.get("device_vs_realtime"),
         "application_rtts_per_block": app["rtts_per_block"],
         "application_device_wait_share": app["device_wait_share"],
         "application_sections_s": app.get("sections_s"),
@@ -120,6 +138,18 @@ def main() -> None:
         out["mixed_vs_last_round_pct"] = round(pct, 2)
         if pct < REGRESS_PCT:
             regressed.append(f"mixed {pct:.1f}%")
+    # Viterbi gates: K=9 must hold the 1M bursts/s target absolutely;
+    # every family gates -5% vs the last recorded round
+    k9 = out["viterbi_bursts_per_s"].get("k9tb_xch_dc12", 0)
+    if k9 < 1_000_000:
+        regressed.append(f"viterbi_k9 {k9} < 1.0M bursts/s")
+    last_vit = (last or {}).get("viterbi_bursts_per_s") or {}
+    for name, val in out["viterbi_bursts_per_s"].items():
+        prev = last_vit.get(name)
+        if prev:
+            pct = 100.0 * (val - prev) / prev
+            if pct < REGRESS_PCT:
+                regressed.append(f"viterbi {name} {pct:.1f}%")
     if regressed:
         out["regressed"] = regressed
     print(json.dumps(out))

@@ -18,20 +18,23 @@ in exactly 1088 samples at 34 MHz -> one 1088-point IFFT), so whole-
 transponder synthesis costs 4 stream interps instead of 1064.
 
 Block layout (one TDMA 8-frame span == one 10.88 Msample block,
-exactly): [noise | prefix0 | prefix1 | S0 S1 S2 | S0 S1 S2 | ...].
-The steady-state period is 24 frames (LCM of the 8-frame schedule and
-the depth-3 TCH9 ring), so three distinct steady blocks cycle and host
-memory stays ~6 blocks regardless of capture length.
+exactly): [noise | prefix0 | prefix1 | steady x 3*cycles].  Every
+steady block is DISTINCT: TCH9 bursts carry the true per-frame A5/1
+keystream (the reference hardcodes A5/1 for NT9, gmr1_rx.c:310), which
+is not periodic in fn — so unlike r04's 3-block cycle, every decoded
+CSD payload is verified bit-exact against the schedule (a TCH9-chain
+regression that still produces bytes now fails the bench).  Host
+memory is (3 + 2 + 3*cycles) blocks (~1 GB at the default 3 cycles).
 
 Verified inside the run: every carrier acquired, SI1 bit-exact, all
 speech frames bit-exact vs the stream payloads, the FACCH3 ASS.CMD.1
-decoded (TCH9 activation), and the CSD/TCH9 burst count.  Steady-state
-TCH9 payloads are cipher-mismatched by construction (A5(fn) is not
-8-frame periodic) — identical device/host cost, content checked in the
-prefix + test suite instead.
+decoded (TCH9 activation), and every post-warmup CSD payload bit-exact
+in schedule order.
 
 Prints ONE JSON line: application_msps (+ acquire_s, steady_msps,
-rtts_per_block, device_wait_share, frames).
+device_msps — the pure device execution rate per block, i.e. what a
+production PCIe/DMA attach would see — rtts_per_block,
+device_wait_share, frames).
 Usage: python bench_app.py [--cycles 3] [--fs 34e6]
 """
 
@@ -61,7 +64,6 @@ BB_BLOCK = F * FRAME4          # baseband samples per block (29952)
 F0 = 16                        # true fn of capture frame 0 (%8 == 0)
 NS = 4                         # payload streams
 PREFIX_BLOCKS = 2              # scripted frames 0..15
-STEADY_BLOCKS = 3              # 24-frame steady period
 
 
 def _rc(t, beta=0.35):
@@ -71,14 +73,16 @@ def _rc(t, beta=0.35):
     return np.where(np.abs(den) < 1e-8, np.sinc(t) * np.pi / 4, out)
 
 
-def build_stream(rng, s):
-    """One payload stream's 4-sps baseband for frames 0..39 + truth."""
+def build_stream(rng, s, n_blocks):
+    """One payload stream's 4-sps baseband for n_blocks*F frames +
+    truth."""
+    from gmr1_tpu import native
     from gmr1_tpu.l1 import bcch, ccch, facch3, tch3, tch9
     from gmr1_tpu.sdr import bursts as BU
     from gmr1_tpu.sdr import fcch, modem
     from tests.test_receiver import imm_ass_l2, si1_l2
 
-    n_frames = (PREFIX_BLOCKS + STEADY_BLOCKS) * F
+    n_frames = n_blocks * F
     bb = np.zeros(n_frames * FRAME4, np.complex64)
     tn, tn9 = 6 + s, 12 + s
 
@@ -131,14 +135,21 @@ def build_stream(rng, s):
     for k in range(8, n_frames):
         place(k, tn, enc[k % 8])
 
-    # NT9 TCH9 9k6 from k=8: payload period 8, ring phase period 3 ->
-    # burst sequence 24-frame periodic from k=16 (n%3 realigns)
+    # NT9 TCH9 9k6 from k=8 with the TRUE per-frame A5/1 keystream
+    # (fn = F0 + k; the reference always ciphers NT9, gmr1_rx.c:310):
+    # every burst is distinct, and the depth-3 deinterleaver means the
+    # decode at frame k yields the payload fed at k-2 — recorded in
+    # truth["csd"] for ordered bit-exact verification
+    kc = np.zeros(8, np.uint8)
     il = tch9.interleaver_init(dtype=np.uint8)
     csd = [rng.integers(0, 256, 60, dtype=np.uint8) for _ in range(8)]
+    truth["csd"] = [bytes(bytearray(csd[(k - 2) % 8]))
+                    for k in range(8, n_frames)]     # decode at frame k
     for k in range(8, n_frames):
+        ciph = native.a5_keystream(kc, F0 + k, 658)[0]
         il, eb = tch9.encode(csd[k % 8], tch9.MODE_9K6,
                              np.zeros(10, np.uint8), np.zeros(4, np.uint8),
-                             il)
+                             il, ciph)
         place(k, tn9, np.asarray(modem.mod(BU.NT9, np.asarray(eb),
                                            sync_id=1)))
     return bb, truth
@@ -203,17 +214,21 @@ def main(argv=None) -> None:
     arfcns = [center_arfcn + o for o in range(-span, span)]
     t0 = time.perf_counter()
 
-    # capture synthesis is deterministic (fixed seed) and slow (~4 min
-    # at 34 MHz: build_stream runs eager L1 encodes): cache the
-    # distinct blocks + payload truths on disk
+    # capture synthesis is deterministic (fixed seed) and slow (~10 min
+    # at 34 MHz / 3 cycles: build_stream runs eager L1 encodes): cache
+    # the blocks + payload truths on disk.  Every content block is
+    # distinct (true per-fn A5 on TCH9), so memory/synth scale with
+    # --cycles.
+    n_blocks = PREFIX_BLOCKS + 3 * args.cycles
     cache = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
-                         f"app-capture-v3-{int(fs)}.pkl")
+                         f"app-capture-v4-{int(fs)}-c{args.cycles}.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             blocks, truths = pickle.load(f)
     else:
         rng = np.random.default_rng(0xA44)
-        streams, truths = zip(*[build_stream(rng, s) for s in range(NS)])
+        streams, truths = zip(*[build_stream(rng, s, n_blocks)
+                                for s in range(NS)])
         combs = []
         for s in range(NS):
             spec = np.zeros(m, np.complex128)
@@ -223,7 +238,7 @@ def main(argv=None) -> None:
                         2j * np.pi * rng.random())
             combs.append((np.fft.ifft(spec) * m).astype(np.complex64))
 
-        n_bb = (PREFIX_BLOCKS + STEADY_BLOCKS) * BB_BLOCK
+        n_bb = n_blocks * BB_BLOCK
         grid = np.arange(n_bb, dtype=np.float64)
         ratio = (23400.0 * SPS) / fs
 
@@ -246,14 +261,13 @@ def main(argv=None) -> None:
         blocks = [np.stack([rng.standard_normal(n_block),
                             rng.standard_normal(n_block)], -1)
                   .astype(np.float32) * 0.01]             # block A: noise
-        blocks += [wb_block(b) for b in range(PREFIX_BLOCKS + STEADY_BLOCKS)]
+        blocks += [wb_block(b) for b in range(n_blocks)]
         try:
             with open(cache, "wb") as f:
                 pickle.dump((blocks, truths), f)
         except OSError:
             pass
-    order = [0, 1, 2] + [3, 4, 5] * args.cycles
-    src = CycleSource(blocks, order)
+    src = CycleSource(blocks, list(range(1 + n_blocks)))
     t_synth = time.perf_counter() - t0
 
     # ---- characterize the host<->device link -----------------------------
@@ -279,7 +293,11 @@ def main(argv=None) -> None:
     h2d_mbps = 8.0 / (time.perf_counter() - t0)
 
     # ---- run the application ---------------------------------------------
-    rx = WidebandReceiver(src, fs, center, sps=SPS, verbose=args.verbose)
+    # int16 ingest: halves the H2D bytes (the steady-state wall on any
+    # link-bound attach); the full bit-exact verification below runs
+    # UNDER it, so the quantized path is what is being proven
+    rx = WidebandReceiver(src, fs, center, sps=SPS, verbose=args.verbose,
+                          h2d_dtype="int16")
 
     # instrument device readbacks (the host<->device round trips)
     real_get = jax.device_get
@@ -333,12 +351,24 @@ def main(argv=None) -> None:
         if not got or any(p not in ok_pairs for p in got):
             bad.append(("speech", car.arfcn))
         n_speech += len(got)
+        # ordered bit-exact CSD check: decode j corresponds to frame
+        # 8+j; the first 2 outputs are depth-3 ring warmup (the
+        # reference emits those too, gmr1_rx.c:342-347)
+        exp = tr["csd"]
+        if len(car.csd) < 3 or car.csd[2:] != exp[2:len(car.csd)]:
+            bad.append(("csd", car.arfcn))
         n_csd += len(car.csd)
     assert not bad, (len(bad), bad[:8])
     blocks_done = src.total // n_block
     assert n_speech >= n_carriers * (blocks_done - 4) * F, \
         (n_speech, n_carriers, blocks_done)
     assert n_csd >= n_carriers * (blocks_done - 4) * F, (n_csd, n_carriers)
+
+    # pure device execution rate for the same per-block graphs (what a
+    # production PCIe/DMA attach would see; the tunnel link dominates
+    # the wall-clock numbers above it)
+    t_dev = rx.device_block_time(iters=3)
+    dev_msps = n_block / t_dev / 1e6
 
     total = src.total
     msps = total / (t_acq + t_loop) / 1e6
@@ -351,6 +381,8 @@ def main(argv=None) -> None:
         "vs_realtime": round(msps / (fs / 1e6), 2),
         "steady_msps": round(steady, 2),
         "steady_vs_realtime": round(steady / (fs / 1e6), 2),
+        "device_msps": round(dev_msps, 2),
+        "device_vs_realtime": round(dev_msps / (fs / 1e6), 2),
         "acquire_s": round(t_acq, 2),
         "synth_s": round(t_synth, 2),
         "n_carriers": n_carriers,
@@ -362,6 +394,7 @@ def main(argv=None) -> None:
         "speech_frames": n_speech,
         "csd_bursts": n_csd,
         "sections_s": {k: round(v, 2) for k, v in sorted(rx.prof.items())},
+        "h2d_dtype": "int16",
         "link": {"h2d_mbps": round(h2d_mbps), "d2h_mbps": round(d2h_mbps),
                  "first_fetch_setup_s": round(link_setup_s, 1)},
     }))

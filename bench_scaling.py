@@ -97,6 +97,75 @@ def run_single(d: int, steps: int, fper: int) -> None:
     }))
 
 
+def run_app_single(d: int, blocks: int) -> None:
+    """One pinned APP-FORM measurement: WidebandReceiver block loop
+    (the thing that would actually deploy multi-chip), mesh-mode at
+    D=2 vs mesh=None at D=1, weak-scaled (fs — and so the carrier
+    count — grows with D; samples and carriers per device constant).
+    Noise input: device work per block is schedule-driven and
+    constant regardless of decode outcomes, which is what this
+    times."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax-gmr1-tests")
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from gmr1_tpu.rx.cfile import ArraySource
+    from gmr1_tpu.rx.receiver import ChanDesc
+    from gmr1_tpu.rx.wideband import WidebandReceiver, _Carrier
+
+    assert jax.devices()[0].platform == "cpu"
+    fs = 5e5 * d                    # 16 grid channels per device
+    center = 1525e6 + 31250 * 512
+    rng = np.random.default_rng(7)
+
+    def build():
+        mesh = Mesh(np.asarray(jax.devices()[:d]), ("dev",)) \
+            if d > 1 else None
+        probe = WidebandReceiver(np.zeros((1024, 2), np.float32), fs,
+                                 center, sps=4, mesh=mesh)
+        n_block = probe.n_block
+        cap = (rng.standard_normal(((blocks + 2) * n_block, 2))
+               .astype(np.float32) * 0.01)
+        rx = WidebandReceiver(ArraySource(cap), fs, center, sps=4,
+                              mesh=mesh)
+        # inject locked carriers on every grid channel (acquisition is
+        # measured elsewhere; this times the steady block engine) with
+        # TCH3+TCH9 assigned so the full per-carrier workload runs
+        for col in range(rx.chz.n_chans):
+            cd = ChanDesc(sps=4)
+            cd.tch3.active = True
+            cd.tch3.tn, cd.tch3.p = 6, 9
+            cd.tch3.energy_burst = 1e9      # noise reads as weak/DKAB
+            cd.tch9.active = True
+            cd.tch9.tn = 12
+            rx.carriers.append(_Carrier(
+                col=col, arfcn=rx._col2arfcn(col), cd=cd, snr=10.0))
+        return rx
+
+    build().run()                   # warmup: compile everything
+    rx = build()
+    t0 = time.perf_counter()
+    rx.run()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "d": d,
+        "t_block": dt / blocks,
+        "n_carriers": rx.chz.n_chans,
+        "samples_per_block": int(rx.n_block),
+    }))
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4,
@@ -106,12 +175,19 @@ def main(argv=None) -> None:
                          "of signal per device per step; the app-block "
                          "scale at which the per-step collective "
                          "rendezvous amortizes)")
+    ap.add_argument("--blocks", type=int, default=6,
+                    help="app-form: timed blocks per device count")
     ap.add_argument("--single", type=int, default=0,
                     help="internal: run one pinned measurement")
+    ap.add_argument("--app-single", type=int, default=0,
+                    help="internal: one pinned app-form measurement")
     args = ap.parse_args(argv)
 
     if args.single:
         run_single(args.single, args.steps, args.fper)
+        return
+    if args.app_single:
+        run_app_single(args.app_single, args.blocks)
         return
 
     n_cores = os.cpu_count() or 1
@@ -167,6 +243,27 @@ def main(argv=None) -> None:
     eff_comm = round(t_control / results[2]["t_step"], 4) \
         if t_control else None
 
+    # APP-FORM point (VERDICT r04 #5): the WidebandReceiver block loop
+    # itself, mesh=2-device vs mesh=None, weak-scaled (carriers/device
+    # constant), each pinned like the pipeline runs above
+    app = {}
+    for d in (1, 2):
+        cores = min(d, n_cores)
+        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
+               sys.executable, os.path.abspath(__file__),
+               "--app-single", str(d), "--blocks", str(args.blocks)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr)
+            raise RuntimeError(f"app D={d} run failed")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["cores"] = cores
+        app[d] = r
+        print(f"app D={d} on {cores} core(s): t_block={r['t_block']:.3f}s "
+              f"({r['n_carriers']} carriers)", flush=True)
+    app_eff_at_2 = round(app[1]["t_block"] / app[2]["t_block"], 4)
+
     print(json.dumps({
         "metric": "multichip_weak_scaling",
         "workload": "StreamingTransponder step "
@@ -180,6 +277,8 @@ def main(argv=None) -> None:
         "eff_at_2": results[2]["eff_cores"],
         "eff_comm_at_2": eff_comm,
         "eff_cores_at_8": results[8]["eff_cores"],
+        "app_per_device": app,
+        "app_eff_at_2": app_eff_at_2,
         "note": "D > cores points timeshare the physical cores and are "
                 "supporting evidence only (eff_cores normalizes the "
                 "oversubscription)",

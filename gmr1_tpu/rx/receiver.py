@@ -50,6 +50,9 @@ class Tch9State:          # gmr1_rx.c:82-91
     active: bool = False
     tn: int = 0
     il: object = None
+    # first frame allowed into the CSD deinterleaver (rx_tch9 starts on
+    # the frame AFTER the assignment, gmr1_rx.c:437-441)
+    from_fn: int = 0
 
 
 @dataclass

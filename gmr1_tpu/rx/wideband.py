@@ -149,29 +149,40 @@ def _windows_rows(streams, rows, idx, wlen: int):
 
 
 # --------------------------------------------------------------------------
-# device phases (jitted once per (C, F) shape)
+# device phases
+#
+# The whole block is ONE jitted graph (_phase_block): control windows,
+# the full TCH3 slot path INCLUDING speculative speech decode, NT9
+# demod, speculative FACCH9 decode, and the chained TCH9 CSD decode
+# over device-resident deinterleaver rings.  On a tunneled chip every
+# host->device transfer and every fetch pays a full link round trip,
+# so the design point is: one packed int32 meta upload, one dispatch,
+# one batched fetch of SMALL results per block — soft bits never leave
+# the device (they are decoded in-graph and only the decoded payloads
+# come back).  The host FSMs select from the speculative results; the
+# rare mid-block FSM events (activation, SI1 realign) re-dispatch a
+# small correction phase for just those carriers.
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("sps", "nb"))
-def _phase_ctrl(streams, meta, freqs, sps: int, nb: int):
-    """BCCH + CCCH demod/decode for the block's scheduled control
-    windows.  `meta` (C, 1+NB+NC) int32 packs [row | idx_b | idx_c]
-    into ONE transfer (each small device_put costs a full tunnel round
-    trip, ~70 ms on the tunneled chip)."""
-    win_b, win_c = 20 * sps, 10 * sps
-    fs = -freqs[:, None]
-    rows, idx_b, idx_c = meta[:, 0], meta[:, 1:1 + nb], meta[:, 1 + nb:]
+# meta column layout (int32), shared by the block phase and the
+# supplemental subset phases; idx groups follow the fixed prefix:
+#   0 row | 1 freq(f32 bitcast) | 2 fn0 | 3 p | 4 flags | 5.. idx groups
+# flags: bit0 tch9-active, bit1 tch3-ciph, bits 16..16+F "started" mask
+# (fn >= tch9.from_fn per frame, gmr1_rx.c:437-441).
+_META_FIXED = 5
 
-    wb = _windows_rows(streams, rows, idx_b, BU.BCCH.len_syms * sps + win_b)
-    rb = modem.demod(BU.BCCH, wb, sps=sps, win=win_b, freq_shift=fs)
-    l2b, badb, _ = bcch.decode(rb.ebits)
 
-    wc = _windows_rows(streams, rows, idx_c, BU.DC6.len_syms * sps + win_c)
-    rc = modem.demod(BU.DC6, wc, sps=sps, win=win_c, freq_shift=fs)
-    l2c, badc, _ = ccch.decode(rc.ebits)
-
-    return dict(l2b=l2b, badb=badb, toab=rb.toa, ferrb=rb.freq_err,
-                eb=_energy(wb), l2c=l2c, badc=badc, ec=_energy(wc))
+def _meta_unpack(meta, counts):
+    rows = meta[:, 0]
+    freqs = jax.lax.bitcast_convert_type(meta[:, 1], jnp.float32)
+    fn0 = meta[:, 2].astype(jnp.uint32)
+    p = meta[:, 3]
+    flags = meta[:, 4]
+    groups, o = [], _META_FIXED
+    for n in counts:
+        groups.append(meta[:, o:o + n])
+        o += n
+    return rows, freqs, fn0, p, flags, groups
 
 
 def _bt_from_demods(rf, rs, e_toa: float):
@@ -184,48 +195,210 @@ def _bt_from_demods(rf, rs, e_toa: float):
                       axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("sps",))
-def _phase_tch3(streams, meta, freqs, sps: int):
-    """Full TCH3 slot path: energy, DKAB, type detect, FACCH + speech
-    demod for every (carrier, frame) — demod everything, select on
-    host (gmr1_rx.c:531-600 restructured).  `meta` (C, 2+F) int32
-    packs [row | p | idx]."""
+def _ctrl_core(streams, rows, fs, idx_b, idx_c, sps):
+    """BCCH + CCCH windows: demod + FEC decode (gmr1_rx.c:746-850)."""
+    win_b, win_c = 20 * sps, 10 * sps
+    wb = _windows_rows(streams, rows, idx_b, BU.BCCH.len_syms * sps + win_b)
+    rb = modem.demod(BU.BCCH, wb, sps=sps, win=win_b, freq_shift=fs)
+    l2b, badb, _ = bcch.decode(rb.ebits)
+    wc = _windows_rows(streams, rows, idx_c, BU.DC6.len_syms * sps + win_c)
+    rc = modem.demod(BU.DC6, wc, sps=sps, win=win_c, freq_shift=fs)
+    l2c, badc, _ = ccch.decode(rc.ebits)
+    return dict(l2b=l2b, badb=badb, toab=rb.toa, ferrb=rb.freq_err,
+                eb=_energy(wb), l2c=l2c, badc=badc, ec=_energy(wc))
+
+
+def _tch3_core(streams, rows, fs, fn0, p, flags, idx_t, key, sps):
+    """Full TCH3 slot path (gmr1_rx.c:531-600 restructured): energy,
+    DKAB, burst-type detect, FACCH demod AND a speculative speech
+    decode — A5 keystream in-graph from the frame numbers, cipher
+    gated by the per-carrier learned flag (meta bit1).  Only the
+    decoded 2x10-byte frames are fetched; the host FSM selects which
+    (carrier, frame) results are real."""
     w = sps + sps // 2
-    fs = -freqs[:, None]
-    rows, p, idx_t = meta[:, 0], meta[:, 1], meta[:, 2:]
+    f_cnt = idx_t.shape[1]
     wt = _windows_rows(streams, rows, idx_t, BU.NT3_FACCH.len_syms * sps + w)
     rd = dkab.demod(wt, sps, p[:, None], fs)
     rf = modem.demod(BU.NT3_FACCH, wt, sps=sps, win=w, freq_shift=fs)
     rs = modem.demod(BU.NT3_SPEECH, wt, sps=sps, win=w, freq_shift=fs)
     bt = _bt_from_demods(rf, rs, float(w >> 1))
-    return dict(et=_energy(wt), dk_bits=rd.ebits, dk_found=rd.found,
-                bt=bt, f_ebits=rf.ebits, f_sid=rf.sync_id, s_ebits=rs.ebits)
+    fns = fn0[:, None] + jnp.arange(f_cnt, dtype=jnp.uint32)[None, :]
+    ks = a5op.keystream(key, fns.reshape(-1), 208)[0]
+    ks = ks.reshape(*fns.shape, 208)
+    ciph = ks * ((flags >> 1) & 1)[:, None, None].astype(ks.dtype)
+    f0, f1, _s, _m = tch3.decode(rs.ebits, ciph)
+    small = dict(et=_energy(wt), dk_bits=rd.ebits, dk_found=rd.found,
+                 bt=bt.astype(jnp.int8), f_sid=rf.sync_id.astype(jnp.int8),
+                 s_f0=f0, s_f1=f1)
+    return small, rf.ebits
 
 
-@partial(jax.jit, static_argnames=("sps",))
-def _phase_tch9(streams, meta, freqs, sps: int):
-    """NT9 demod for every (carrier, frame) (gmr1_rx.c:276-353).
-    `meta` (C, 1+F) int32 packs [row | idx]."""
+def _tch9_core(streams, rows, fs, fn0, idx_9, key, sps):
+    """NT9 windows: demod + speculative FACCH9 decode for every
+    (carrier, frame) (gmr1_rx.c:276-353).  The A5/1 keystream (the
+    reference hardcodes A5/1 for NT9, gmr1_rx.c:310,326) is computed
+    once in-graph and shared with the CSD chain."""
     w = sps + sps // 2
-    fs = -freqs[:, None]
-    rows, idx_t = meta[:, 0], meta[:, 1:]
-    wt = _windows_rows(streams, rows, idx_t, BU.NT9.len_syms * sps + w)
+    f_cnt = idx_9.shape[1]
+    wt = _windows_rows(streams, rows, idx_9, BU.NT9.len_syms * sps + w)
     r = modem.demod(BU.NT9, wt, sps=sps, win=w, freq_shift=fs)
-    return dict(ebits=r.ebits, sid=r.sync_id)
+    fns = fn0[:, None] + jnp.arange(f_cnt, dtype=jnp.uint32)[None, :]
+    ks = a5op.keystream(key, fns.reshape(-1), 658)[0]
+    ks = ks.reshape(*fns.shape, 658)
+    l2f9, _sa, _st, badf9, _m = facch9.decode(r.ebits, ks)
+    small = dict(sid9=r.sync_id.astype(jnp.int8), l2f9=l2f9, badf9=badf9)
+    return small, r.ebits, ks
+
+
+def _chain_core(e9, ks, il, sid, flags):
+    """Chained 9k6 CSD decode over the device-resident depth-3 rings:
+    valid = (sync_id==1) & started & tch9-active, all in-graph, so the
+    chain dispatches WITH the block phase (no host round trip between
+    demod and chain; identical to the sequential per-burst walk,
+    gmr1_rx.c:321-347 / tch9.c:109)."""
+    f_cnt = e9.shape[1]
+    started = (flags[:, None] >> (16 + jnp.arange(f_cnt))[None, :]) & 1
+    act9 = (flags & 1)[:, None]
+    valid = (sid == 1) & ((started & act9) != 0)
+    il2, l2a, _sa, _st, _m = tch9.decode_frames(
+        jnp.swapaxes(e9, 0, 1), tch9.MODE_9K6, il,
+        jnp.swapaxes(ks, 0, 1), jnp.swapaxes(valid, 0, 1))
+    return il2, l2a
+
+
+def _small_spec(nb: int, nc: int, f_cnt: int):
+    """Byte layout of the block phase's fetched results: every small
+    output is packed into ONE (C, total_bytes) uint8 array on device,
+    because on a tunneled chip each fetched LEAF pays a full link
+    round trip (~0.2 s measured) — 19 leaves/block was most of the r04
+    fetch wall.  Host unpacks by viewing byte ranges."""
+    f = f_cnt
+    return [
+        ("l2b", np.uint8, (nb, 24)), ("badb", np.bool_, (nb,)),
+        ("toab", np.float32, (nb,)), ("ferrb", np.float32, (nb,)),
+        ("eb", np.float32, (nb,)),
+        ("l2c", np.uint8, (nc, 24)), ("badc", np.bool_, (nc,)),
+        ("ec", np.float32, (nc,)),
+        ("et", np.float32, (f,)), ("dk_bits", np.int8, (f, 8)),
+        ("dk_found", np.bool_, (f,)), ("bt", np.int8, (f,)),
+        ("f_sid", np.int8, (f,)),
+        ("s_f0", np.uint8, (f, 10)), ("s_f1", np.uint8, (f, 10)),
+        ("sid9", np.int8, (f,)), ("l2f9", np.uint8, (f, 38)),
+        ("badf9", np.bool_, (f,)), ("l2a", np.uint8, (f, 60)),
+    ]
+
+
+def _pack_small(small, spec):
+    """In-graph: coerce every result to its spec dtype (the decode
+    chains return e.g. int32 CRC flags), flatten to (C, bytes) uint8
+    and concatenate."""
+    parts = []
+    for k, dt, tail in spec:
+        v = small[k]
+        if k == "l2a":                       # (F, C, 60) -> (C, F, 60)
+            v = jnp.moveaxis(v, 0, 1)
+        c = v.shape[0]
+        if dt == np.bool_:
+            v = (v != 0).astype(jnp.uint8)
+        else:
+            v = v.astype(jnp.dtype(dt))
+        if v.dtype != jnp.uint8:
+            v = jax.lax.bitcast_convert_type(v, jnp.uint8)
+        parts.append(v.reshape(c, -1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_small(buf, spec):
+    """Host: view the fetched (C, bytes) uint8 back into the result
+    dict (l2a is returned in its (F, C, 60) on-device layout)."""
+    buf = np.asarray(buf)
+    c = buf.shape[0]
+    out, o = {}, 0
+    for k, dt, tail in spec:
+        nby = int(np.prod(tail)) * np.dtype(dt).itemsize
+        raw = np.ascontiguousarray(buf[:, o:o + nby])
+        out[k] = raw.view(dt).reshape(c, *tail)
+        o += nby
+    out["l2a"] = np.moveaxis(out["l2a"], 0, 1)
+    return out
+
+
+@partial(jax.jit, static_argnames=("sps", "nb", "nc", "f_cnt"))
+def _phase_block(streams, meta, il, key, sps: int, nb: int, nc: int,
+                 f_cnt: int):
+    """ONE graph for the whole block (see section comment).  Returns
+    (packed, big): `packed` is the single (C, bytes) uint8 result
+    array (one fetch leaf, one link round trip); `big` (FACCH soft
+    bits, NT9 soft bits + keystreams, updated rings) stays
+    device-resident for the rare correction dispatches."""
+    rows, freqs, fn0, p, flags, (idx_b, idx_c, idx_t, idx_9) = \
+        _meta_unpack(meta, (nb, nc, f_cnt, f_cnt))
+    fs = -freqs[:, None]
+    small = _ctrl_core(streams, rows, fs, idx_b, idx_c, sps)
+    s3, f_ebits = _tch3_core(streams, rows, fs, fn0, p, flags, idx_t,
+                             key, sps)
+    small.update(s3)
+    s9, e9, ks = _tch9_core(streams, rows, fs, fn0, idx_9, key, sps)
+    small.update(s9)
+    il2, l2a = _chain_core(e9, ks, il, s9["sid9"], flags)
+    small["l2a"] = l2a
+    packed = _pack_small(small, _small_spec(nb, nc, f_cnt))
+    big = dict(f_ebits=f_ebits, e9=e9, ks=ks, il2=il2)
+    return packed, big
+
+
+@partial(jax.jit, static_argnames=("sps", "f_cnt"))
+def _phase_tch3s(streams, meta, key, sps: int, f_cnt: int):
+    """Supplemental TCH3 slot path for a carrier subset (same-block
+    activations / realigned carriers whose pre-dispatched windows went
+    stale)."""
+    rows, freqs, fn0, p, flags, (idx_t,) = _meta_unpack(meta, (f_cnt,))
+    return _tch3_core(streams, rows, -freqs[:, None], fn0, p, flags,
+                      idx_t, key, sps)
+
+
+@partial(jax.jit, static_argnames=("sps", "f_cnt"))
+def _phase_tch9s(streams, meta, key, sps: int, f_cnt: int):
+    """Supplemental NT9 demod + FACCH9 for a carrier subset."""
+    rows, freqs, fn0, _p, _fl, (idx_9,) = _meta_unpack(meta, (f_cnt,))
+    return _tch9_core(streams, rows, -freqs[:, None], fn0, idx_9, key, sps)
 
 
 @jax.jit
-def _tch9_chain(ebits, il, fns, key, valid_f):
-    """Chained 9k6 CSD decode, all-device: `ebits` (C9, F, 662) stays
-    resident from _phase_tch9 (no 24 MB host round trip), the A5/1
-    keystreams compute on device from the frame numbers (ops.a5
-    batched scan, parity-tested vs the native C), rings gated per
-    burst by `valid_f` (F, C9)."""
-    c9, f_cnt = ebits.shape[0], ebits.shape[1]
-    ks = a5op.keystream(key, fns.reshape(-1), 658)[0]
-    ciph_f = ks.reshape(c9, f_cnt, 658).swapaxes(0, 1)
-    ebits_f = jnp.swapaxes(ebits, 0, 1)
-    return tch9.decode_frames(ebits_f, tch9.MODE_9K6, il, ciph_f, valid_f)
+def _chain_fix(il_prev, il2, fix, e9, ks):
+    """Correct the chained CSD decode for a carrier subset: re-run the
+    chain from the PRE-BLOCK ring rows (il_prev) with the corrected
+    validity (host-computed after its FSM walk) and scatter the
+    results into the optimistic post-block rings (il2).  `fix` is
+    (Cs, 4) int32 [slot | reset | valid bits | is_pad]; e9/ks are the
+    subset's resident soft bits / keystreams.  Pad rows target an
+    unfixed slot and write back its current value (identity), so the
+    duplicate scatter writers stay deterministic."""
+    slots, reset, vbits, pad = fix[:, 0], fix[:, 1], fix[:, 2], fix[:, 3]
+    f_cnt = e9.shape[1]
+    valid = ((vbits[:, None] >> jnp.arange(f_cnt)[None, :]) & 1) != 0
+    keep = (1 - reset)
+    sub = InterleaverState(
+        buf=il_prev.buf[slots] * keep[:, None, None].astype(il_prev.buf.dtype),
+        n=il_prev.n[slots] * keep.astype(il_prev.n.dtype))
+    sub2, l2a, _sa, _st, _m = tch9.decode_frames(
+        jnp.swapaxes(e9, 0, 1), tch9.MODE_9K6, sub,
+        jnp.swapaxes(ks, 0, 1), jnp.swapaxes(valid, 0, 1))
+    upd_buf = jnp.where((pad != 0)[:, None, None], il2.buf[slots],
+                        sub2.buf)
+    upd_n = jnp.where(pad != 0, il2.n[slots], sub2.n)
+    il3 = InterleaverState(buf=il2.buf.at[slots].set(upd_buf),
+                           n=il2.n.at[slots].set(upd_n))
+    return il3, l2a
+
+
+@jax.jit
+def _gather_if(x, ij):
+    """Gather (i, f) rows from a device-resident (C, F, L) tensor."""
+    return x[ij[:, 0], ij[:, 1]]
+
+
+_facch3_decode = jax.jit(facch3.decode)
 
 
 def _fetch(tree):
@@ -272,8 +445,18 @@ class WidebandReceiver:
                  block_frames: int = 8, fcch_type: fcch.FcchBurst = fcch.FCCH,
                  band: str = "L", uplink: bool = False,
                  verbose: bool = False, mesh=None, beams: int = 1,
-                 wide_channels=None):
+                 wide_channels=None, h2d_dtype: str = "float32"):
         self.sps = sps
+        # h2d_dtype="int16": quantize ingest blocks host-side (scale
+        # 4096, ~72 dB SNR floor — far below the demod's own bound) and
+        # dequantize in-graph, HALVING host->device bytes.  The H2D
+        # transfer is the app's hard floor on link-bound attaches; SDR
+        # front-ends are 8-12 bit anyway.  bench_app verifies the full
+        # decode bit-exact under it.
+        if h2d_dtype not in ("float32", "int16"):
+            raise ValueError(h2d_dtype)
+        self._h2d_int16 = h2d_dtype == "int16"
+        self._h2d_scale = 4096.0
         self.kc = np.frombuffer(kc, np.uint8) if kc else np.zeros(8, np.uint8)
         self._kc_dev = jnp.asarray(self.kc)   # hoisted: one H2D, reused
         self.sink = sink
@@ -306,7 +489,9 @@ class WidebandReceiver:
         # StreamPreResampler — O(block) memory in every mode.
         self._src = wb
         self._rotate = bool(self.chz.rotation)
-        self._replay = np.zeros((0, 2), np.float32)
+        # acquisition prefix blocks, kept DEVICE-resident and already
+        # sharded/_put: the acquire passes and the main loop replay
+        # them without paying the H2D transfer again
         self._replay_dev: list = []
         self._n_pulled = 0           # samples pulled from the source
         self._n_in = 0               # samples consumed by the block loop
@@ -316,15 +501,32 @@ class WidebandReceiver:
         self.arfcn_filter = arfcns
         self.carriers: list[_Carrier] = []
         self.frames: list[tuple[int, int, int, int, bytes]] = []
+        # device-resident batched TCH9 deinterleaver rings, one row per
+        # carrier slot (created at the first block; advanced in-graph)
+        self._il: InterleaverState | None = None
+        self._last_put = None        # last device input block (bench)
+        self._last_meta = None       # last block meta (bench)
         # wall-clock per pipeline section, accumulated across run()
         # (SURVEY §5.1 observability; bench_app.py reports it)
         self.prof: dict[str, float] = {}
         self._build_ingest()
         self._pre = None
+        if self._h2d_int16 and self.chz.pre_resamp is not None:
+            raise ValueError("h2d_dtype=int16 requires an on-grid fs "
+                             "(the off-grid pre-resampler streams device "
+                             "chunks, so there is no host transfer to "
+                             "quantize)")
         if self.chz.pre_resamp is not None:
             from ..channelizer.pfb import StreamPreResampler
             self._pre = StreamPreResampler(self.chz.pre_resamp,
                                            self.n_block, self._pull)
+
+    def _quant(self, x):
+        """Host-side ingest quantization for h2d_dtype=int16."""
+        if not self._h2d_int16:
+            return x
+        return np.clip(np.asarray(x, np.float32) * self._h2d_scale,
+                       -32767.0, 32767.0).astype(np.int16)
 
     def _tick(self, key: str, t0: float) -> float:
         t1 = time.perf_counter()
@@ -388,9 +590,18 @@ class WidebandReceiver:
         self._wide_fwd = [0] * len(self._wide)
         want_rows = bool(self._wide)
 
+        # int16 H2D: blocks arrive quantized (see __init__); the halo
+        # tail is carried quantized too and the dequant fuses into the
+        # analysis filter's first matmul
+        qdt = jnp.int16 if self._h2d_int16 else jnp.float32
+        inv = np.float32(1.0 / self._h2d_scale)
+
+        def dequant(z):
+            return z.astype(jnp.float32) * inv if self._h2d_int16 else z
+
         if self.mesh is None:
             def step(x_local, halo, bank_hist, stream_tail):
-                blk = jnp.concatenate([halo, x_local], axis=0)
+                blk = dequant(jnp.concatenate([halo, x_local], axis=0))
                 bank = ana.block(blk)               # (R_b, M, 2)
                 rows = jnp.moveaxis(bank, 1, 0)     # (M, R_b, 2)
                 rows_full = jnp.concatenate([bank_hist, rows], axis=1)
@@ -400,10 +611,10 @@ class WidebandReceiver:
                 return out + tail_half(x_local, halo, stream, rows_full)
             self._step = jax.jit(step)
             self._state = (
-                jnp.zeros((halo_len, 2), jnp.float32),
+                jnp.zeros((halo_len, 2), qdt),
                 jnp.zeros((m, H, 2), jnp.float32),
                 jnp.zeros((m, self.T_tail, 2), jnp.float32))
-            self._put = jnp.asarray
+            self._put = lambda x: jnp.asarray(self._quant(x))
             return
 
         mesh = self.mesh
@@ -419,7 +630,7 @@ class WidebandReceiver:
         def sstep(xh_local, bank_hist, stream_tail):
             # shared SPMD ingest (parallel/ingest.py): host-overlapped
             # halo shards + analysis + bf16 all_to_all -> rows
-            rows = analyze_reshard(ana, axis, d, xh_local[0])
+            rows = analyze_reshard(ana, axis, d, dequant(xh_local[0]))
             rows_full = jnp.concatenate([bank_hist, rows], axis=1)
             stream = jnp.concatenate(
                 [stream_tail, resample(rows_full)], axis=1)
@@ -435,11 +646,11 @@ class WidebandReceiver:
             jnp.zeros((m, H, 2), jnp.float32),
             jnp.zeros((m, self.T_tail, 2), jnp.float32))
         sh = NamedSharding(mesh, P(axis))
-        self._htail = jnp.zeros((halo_len, 2), jnp.float32)
+        self._htail = jnp.zeros((halo_len, 2), qdt)
 
         def put(x):
             shards, self._htail = overlapped_shards(
-                jnp.asarray(x), self._htail, halo_len, d)
+                jnp.asarray(self._quant(x)), self._htail, halo_len, d)
             return jax.device_put(shards, sh)
         self._put = put
 
@@ -457,48 +668,42 @@ class WidebandReceiver:
         self._n_pulled += x.shape[0]
         return x
 
-    def _next_block(self):
-        """Next n_block on-grid samples: acquisition replay buffer
-        first, then the source; zero-padded at EOF (which pins
-        n_stream).  Off-grid fs: device chunks from the streaming
-        pre-resampler."""
-        if self._pre is not None:
-            if self._replay_dev:
-                x, n_valid = self._replay_dev.pop(0)
-            else:
-                x, n_valid = self._pre.produce_block()
+    def _pin_eof(self, n_valid: int) -> None:
+        """A short block pins the stream length (EOF)."""
+        if n_valid < self.n_block and not self._eof:
+            self._eof = True
+            rows = self._n_in // self.chz.analyzer.hop
+            self.n_stream = int(np.floor(rows * self.rrc.ratio))
+
+    def _next_put_block(self):
+        """Next n_block on-grid samples, already _put to the device:
+        the acquisition replay list first (no repeated H2D), then the
+        source; zero-padded at EOF (which pins n_stream).  Off-grid fs:
+        device chunks from the streaming pre-resampler."""
+        if self._replay_dev:
+            x, n_valid = self._replay_dev.pop(0)
             self._n_in += int(n_valid)
-            if n_valid < self.n_block and not self._eof:
-                self._eof = True
-                rows = self._n_in // self.chz.analyzer.hop
-                self.n_stream = int(np.floor(rows * self.rrc.ratio))
+            self._pin_eof(int(n_valid))
             return x
-        need = self.n_block
-        parts = []
-        if self._replay.shape[0]:
-            take = self._replay[:need]
-            self._replay = self._replay[take.shape[0]:]
-            parts.append(take)
-            need -= take.shape[0]
-        if need:
-            parts.append(self._pull(need))
-        x = np.concatenate(parts) if len(parts) != 1 else parts[0]
+        if self._pre is not None:
+            x, n_valid = self._pre.produce_block()
+            self._n_in += int(n_valid)
+            self._pin_eof(int(n_valid))
+            return self._put(x)
+        x = self._pull(self.n_block)
         self._n_in += x.shape[0]
+        self._pin_eof(x.shape[0])
         if x.shape[0] < self.n_block:
-            if not self._eof:
-                self._eof = True
-                rows = self._n_in // self.chz.analyzer.hop
-                self.n_stream = int(np.floor(rows * self.rrc.ratio))
             x = np.concatenate(
                 [x, np.zeros((self.n_block - x.shape[0], 2), np.float32)])
-        return x
+        return self._put(x)
 
     def _ingest_block(self, b: int) -> None:
         """Run the ingest step for block b; sets self.streams (M, T_buf,
         2) and self._buf0 (absolute output sample of buffer index 0)."""
         t = time.perf_counter()
-        x = self._next_block()
-        out = self._step(self._put(x), *self._state)
+        self._last_put = self._next_put_block()
+        out = self._step(self._last_put, *self._state)
         if self._wide:
             self.streams, rows = out[0], out[1]
             self._state = out[2:]
@@ -535,47 +740,42 @@ class WidebandReceiver:
     # --- acquisition ---------------------------------------------------
 
     def _acq_pull_blocks(self, n_abl: int):
-        """Pull n_abl ingest blocks from the source, KEEPING them for
-        replay into the main loop (samples consume strictly forward).
-        Returns (block list padded to n_block, valid input samples)."""
+        """Pull n_abl ingest blocks from the source and _put them to
+        the device ONCE, keeping the device handles for replay: the two
+        acquire passes and the main loop all stream the same blocks, so
+        re-paying the H2D transfer (~87 MB/block at 34 MHz) two extra
+        times would dominate acquisition on a slow link.  Returns
+        (device block list, valid input samples)."""
         blocks, valid = [], 0
-        if self._pre is not None:
-            # off-grid: on-grid blocks from the streaming pre-resampler
-            # (device), kept for block-aligned replay into the loop
-            for _ in range(n_abl):
-                x, nv = self._pre.produce_block()
-                self._replay_dev.append((x, nv))
-                blocks.append(x)
-                valid += int(nv)
-            return blocks, valid
         for _ in range(n_abl):
-            x = self._pull(self.n_block)
-            if x.shape[0]:
-                self._replay = np.concatenate([self._replay, x]) \
-                    if self._replay.shape[0] else x
-            valid += x.shape[0]
-            if x.shape[0] < self.n_block:
-                x = np.concatenate(
-                    [x, np.zeros((self.n_block - x.shape[0], 2),
-                                 np.float32)])
-            blocks.append(x)
+            if self._pre is not None:
+                # off-grid: on-grid blocks from the streaming
+                # pre-resampler (device chunks)
+                x, nv = self._pre.produce_block()
+                nv = int(nv)
+            else:
+                x = self._pull(self.n_block)
+                nv = x.shape[0]
+                if nv < self.n_block:
+                    x = np.concatenate(
+                        [x, np.zeros((self.n_block - nv, 2), np.float32)])
+            xd = self._put(x)
+            self._replay_dev.append((xd, nv))
+            blocks.append(xd)
+            valid += nv
         return blocks, valid
 
     def _acq_replay(self, blocks):
-        """Iterate (block_idx, stream_buffer) by streaming `blocks`
-        through the SAME jitted ingest step as the main loop, from
-        fresh state (self._state is never mutated; the mesh-mode host
-        halo is saved/restored around the pass)."""
-        h0 = getattr(self, "_htail", None)
+        """Iterate (block_idx, stream_buffer) by streaming the already
+        device-resident `blocks` through the SAME jitted ingest step as
+        the main loop, from fresh state (self._state and the mesh-mode
+        host halo are never touched: blocks were sharded at pull
+        time)."""
         state, k = self._state, 2 if self._wide else 1
-        try:
-            for b, x in enumerate(blocks):
-                out = self._step(self._put(x), *state)
-                state = out[k:]
-                yield b, out[0]
-        finally:
-            if h0 is not None:
-                self._htail = h0
+        for b, x in enumerate(blocks):
+            out = self._step(x, *state)
+            state = out[k:]
+            yield b, out[0]
 
     def acquire(self) -> list[_Carrier]:
         """Batched FCCH scan over every grid channel (fcch_single_init
@@ -719,141 +919,169 @@ class WidebandReceiver:
 
     # --- block engine ---------------------------------------------------
 
-    def _block_schedule(self, car: _Carrier, F: int):
-        """(is_bcch, is_ccch) masks for the next F frames."""
-        fns = car.cd.fn + np.arange(F)
-        sirfn = (fns - car.cd.sa_sirfn_delay) & 63
-        return (sirfn % 8 == 2), ~np.isin(sirfn % 8, (0, 2))
-
     def _ready(self, car: _Carrier) -> bool:
         """Carrier's next F frames fully resident in the buffer?"""
         a = car.cd.align - self._buf0
         return 64 <= a <= self.T_buf - (self.block_frames + 2) \
             * self.frame_out
 
-    def _mk_idx(self, cars, slot_of, win, frames=None):
-        F, sps, buf0 = self.block_frames, self.sps, self._buf0
-        e_toa = win >> 1
-        nf = F if frames is None else frames.shape[1]
-        idx = np.zeros((len(cars), nf), np.int64)
-        for i, car in enumerate(cars):
-            fr = np.arange(F) if frames is None else frames[i]
-            idx[i] = (car.cd.align - buf0 + sps * slot_of(car) * 39
-                      - e_toa + fr * self.frame_out)
-        return idx
+    def _build_meta(self, active_ids, F: int):
+        """Vectorized per-block bookkeeping: ONE packed int32 meta
+        array for the whole block phase, plus the host-side schedule
+        arrays the FSM walks index into.  All per-carrier math is
+        whole-array numpy — no per-carrier Python loops (the r04
+        profile showed the loop form costing ~3 s of host time per
+        0.32 s block at transponder scale)."""
+        cars = self.carriers
+        sps, buf0, fo = self.sps, self._buf0, self.frame_out
+        n = len(cars)
 
-    def _pad_idx(self, idx, n, wlen):
-        """Pad rows to n and clip window starts into the buffer (np)."""
-        hi = self.T_buf - wlen - 1
-        idx = np.concatenate([idx, np.tile(idx[:1], (n - len(idx), 1))])
-        return np.clip(idx, 0, hi).astype(np.int32)
+        def vec(get, dt):
+            return np.fromiter((get(c) for c in cars), dt, n)
 
-    def _dispatch_tch3(self, tch3_set):
-        """Dispatch (async) the TCH3 slot-path phase for these carriers."""
-        sps = self.sps
-        C3 = _pad_cnt(len(tch3_set))
-        rows3 = [c.col for c in tch3_set]
-        rows3 += [rows3[0]] * (C3 - len(tch3_set))
+        col = vec(lambda c: c.col, np.int64)
+        align = vec(lambda c: c.cd.align, np.int64)
+        fn0 = vec(lambda c: c.cd.fn, np.int64)
+        delay = vec(lambda c: c.cd.sa_sirfn_delay, np.int64)
+        stn = vec(lambda c: c.cd.sa_bcch_stn, np.int64)
+        freq = vec(lambda c: c.cd.freq_err, np.float32)
+        tn3 = vec(lambda c: c.cd.tch3.tn, np.int64)
+        p3 = vec(lambda c: c.cd.tch3.p, np.int64)
+        ci3 = vec(lambda c: c.cd.tch3.ciph, np.int64)
+        tn9 = vec(lambda c: c.cd.tch9.tn, np.int64)
+        a9 = vec(lambda c: c.cd.tch9.active, bool)
+        ff9 = vec(lambda c: c.cd.tch9.from_fn, np.int64)
+        act = vec(lambda c: id(c) in active_ids, bool)
+
+        # control schedule: BCCH on sirfn%8==2, CCCH on sirfn%8 not in
+        # {0,2} (gmr1_rx.c:867,800) — at F=8 that is exactly 1 BCCH +
+        # 6 CCCH windows per carrier per block, a ~45% cut of control
+        # demod work vs all-frames
+        fns = fn0[:, None] + np.arange(F)
+        r8 = ((fns - delay[:, None]) & 63) % 8
+        is_b = r8 == 2
+        is_c = (r8 != 0) & (r8 != 2)
+        nb = max(1, int(is_b.sum(1).max(initial=0)))
+        nc = max(1, int(is_c.sum(1).max(initial=0)))
+        # first-nb true frame indices per carrier, in fn order (stable
+        # argsort of the inverted mask); surplus columns demod garbage
+        # the walk never reads (jb/jc rank maps gate them)
+        fr_b = np.argsort(~is_b, axis=1, kind="stable")[:, :nb]
+        fr_c = np.argsort(~is_c, axis=1, kind="stable")[:, :nc]
+
+        def idx(tn, frames, win, wlen):
+            out = (align[:, None] - buf0 + sps * 39 * tn[:, None]
+                   - (win >> 1) + frames * fo)
+            return np.clip(out, 0, self.T_buf - wlen - 1)
+
         w = sps + sps // 2
-        idx_t = self._pad_idx(
-            self._mk_idx(tch3_set, lambda c: c.cd.tch3.tn, w), C3,
-            BU.NT3_FACCH.len_syms * sps + w)
-        p3 = np.zeros(C3, np.int32)
-        fr3 = np.zeros(C3, np.float32)
-        for i, car in enumerate(tch3_set):
-            p3[i] = car.cd.tch3.p
-            fr3[i] = car.cd.freq_err
-        meta = np.concatenate(
-            [np.asarray(rows3, np.int32)[:, None], p3[:, None], idx_t],
-            axis=1)
-        return _phase_tch3(self.streams, jnp.asarray(meta),
-                           jnp.asarray(fr3), sps)
+        fa = np.arange(F)[None, :]
+        idx_b = idx(stn, fr_b, 20 * sps, BU.BCCH.len_syms * sps + 20 * sps)
+        idx_c = idx(stn, fr_c, 10 * sps, BU.DC6.len_syms * sps + 10 * sps)
+        idx_t = idx(tn3, fa, w, BU.NT3_FACCH.len_syms * sps + w)
+        idx_9 = idx(tn9, fa, w, BU.NT9.len_syms * sps + w)
+
+        started = fns >= ff9[:, None]
+        sbits = (started.astype(np.int64) << (16 + np.arange(F))).sum(1)
+        flags = ((a9 & act).astype(np.int64) | ((ci3 & 1) << 1) | sbits)
+
+        meta = np.empty((n, _META_FIXED + nb + nc + 2 * F), np.int32)
+        meta[:, 0] = col
+        meta[:, 1] = freq.view(np.int32)
+        meta[:, 2] = fn0
+        meta[:, 3] = p3
+        meta[:, 4] = flags
+        o = _META_FIXED
+        for part in (idx_b, idx_c, idx_t, idx_9):
+            meta[:, o:o + part.shape[1]] = part
+            o += part.shape[1]
+        C = _pad_cnt(n)
+        if C != n:
+            meta = np.concatenate([meta, np.tile(meta[:1], (C - n, 1))])
+        return dict(meta=meta, nb=nb, nc=nc, fns=fns, is_b=is_b, is_c=is_c,
+                    jb=np.cumsum(is_b, 1) - 1, jc=np.cumsum(is_c, 1) - 1,
+                    a9=a9, act=act, started=started)
+
+    def _build_sub_meta(self, cars, kind: str, F: int):
+        """Packed meta for a supplemental subset phase (idx group =
+        the one slot the phase demodulates)."""
+        sps, buf0, fo = self.sps, self._buf0, self.frame_out
+        n = len(cars)
+        w = sps + sps // 2
+        wlen = (BU.NT3_FACCH if kind == "tch3" else BU.NT9).len_syms \
+            * sps + w
+        meta = np.zeros((n, _META_FIXED + F), np.int32)
+        for i, c in enumerate(cars):
+            cd = c.cd
+            tn = cd.tch3.tn if kind == "tch3" else cd.tch9.tn
+            meta[i, 0] = c.col
+            meta[i, 1] = np.float32(cd.freq_err).view(np.int32)
+            meta[i, 2] = cd.fn
+            meta[i, 3] = cd.tch3.p
+            meta[i, 4] = (cd.tch3.ciph & 1) << 1
+            base = cd.align - buf0 + sps * 39 * tn - (w >> 1)
+            meta[i, _META_FIXED:] = np.clip(
+                base + np.arange(F) * fo, 0, self.T_buf - wlen - 1)
+        Cs = _pad_cnt(n)
+        if Cs != n:
+            meta = np.concatenate([meta, np.tile(meta[:1], (Cs - n, 1))])
+        return meta
 
     def _process_block(self, active: list[_Carrier]) -> None:
         t = time.perf_counter()
         sps = self.sps
         F = self.block_frames
         frame_len = self.frame_out
-        C = _pad_cnt(len(active))
-        rows = [c.col for c in active]
-        rows += [rows[0]] * (C - len(active))
-        rows = np.asarray(rows, np.int32)
+        cars = self.carriers
+        slot = {id(c): i for i, c in enumerate(cars)}
+        active_ids = {id(c) for c in active}
 
-        # ---- dispatch ALL phases on PRE-block state (async) -------------
-        # phase 1: packed control schedule — the reference demodulates
-        # BCCH only on sirfn%8==2 frames and CCCH on sirfn%8 not in
-        # {0, 2} (gmr1_rx.c:867,800): at F=8 that is 1 BCCH + 6 CCCH
-        # windows per carrier per block, a ~45% cut of phase-1 work.
-        # Phases 2/3 depend only on pre-block channel state (tn/p/align
-        # are block-boundary state), so all three dispatch back-to-back
-        # and ONE batched fetch collapses the tunnel round trips; the
-        # rare same-block activations/realigns re-dispatch a
-        # supplemental phase for just those carriers below.
-        sched = [self._block_schedule(car, F) for car in active]
-        fr_b = [np.flatnonzero(s[0]) for s in sched]
-        fr_c = [np.flatnonzero(s[1]) for s in sched]
-        nb = max(1, max((len(x) for x in fr_b), default=1))
-        nc = max(1, max((len(x) for x in fr_c), default=1))
-
-        def pack_frames(fr, n):
-            out = np.zeros((len(active), n), np.int64)
-            for i, x in enumerate(fr):
-                if len(x):
-                    out[i, :len(x)] = x
-                    out[i, len(x):] = x[-1]     # dup pad, host ignores
-            return out
-        frames_b = pack_frames(fr_b, nb)
-        frames_c = pack_frames(fr_c, nc)
-        idx_b = self._mk_idx(active, lambda c: c.cd.sa_bcch_stn, 20 * sps,
-                             frames_b)
-        idx_c = self._mk_idx(active, lambda c: c.cd.sa_bcch_stn, 10 * sps,
-                             frames_c)
-        freqs = np.asarray([c.cd.freq_err for c in active]
-                           + [0.0] * (C - len(active)), np.float32)
-        meta = np.concatenate(
-            [rows[:, None],
-             self._pad_idx(idx_b, C, BU.BCCH.len_syms * sps + 20 * sps),
-             self._pad_idx(idx_c, C, BU.DC6.len_syms * sps + 10 * sps)],
-            axis=1)
-        ctrl_fut = _phase_ctrl(self.streams, jnp.asarray(meta),
-                               jnp.asarray(freqs), sps, nb)
-        tch3_pre = [c for c in active if c.cd.tch3.active]
-        align_pre = {id(c): c.cd.align for c in tch3_pre}
-        t3_fut = self._dispatch_tch3(tch3_pre) if tch3_pre else None
-        tch9_pre = [c for c in active if c.cd.tch9.active]
-        state9_pre = {id(c): (c.cd.align, c.cd.fn, c.cd.tch9.tn)
-                      for c in tch9_pre}
-        t9_fut = self._dispatch_tch9(tch9_pre) if tch9_pre else None
+        # ---- ONE packed upload + ONE graph on PRE-block state ----------
+        # everything below depends only on block-boundary channel state,
+        # so the whole block (control + TCH3 + NT9 + CSD chain over the
+        # device-resident rings) dispatches before any fetch; the rare
+        # same-block activations/realigns re-dispatch a small correction
+        # phase for just those carriers afterwards.
+        mb = self._build_meta(active_ids, F)
+        self._last_meta = (mb["meta"], mb["nb"], mb["nc"])
+        C = mb["meta"].shape[0]
+        if self._il is None or self._il.buf.shape[0] != C:
+            self._il = InterleaverState(
+                buf=jnp.zeros((C, tch9.INTER_DEPTH, tch9.INTER_WIDTH),
+                              jnp.float32),
+                n=jnp.zeros((C,), jnp.int32))
+        il_prev = self._il
+        packed, big = _phase_block(self.streams, jnp.asarray(mb["meta"]),
+                                   il_prev, self._kc_dev, sps,
+                                   mb["nb"], mb["nc"], F)
         t = self._tick("dispatch", t)
-        # fetch the control results + phase-2 results + ONLY the NT9
-        # sync ids: the 24 MB NT9 soft bits stay device-resident for
-        # the chained decode (_tch9_chain)
-        ctrl, t3, t9sid = _fetch(
-            (ctrl_fut, t3_fut, t9_fut["sid"] if t9_fut else None))
-        t9 = dict(sid=t9sid, ebits=t9_fut["ebits"]) if t9_fut else None
+        res = _unpack_small(_fetch(packed), _small_spec(mb["nb"],
+                                                        mb["nc"], F))
         t = self._tick("fetch_phases", t)
 
         # ---- host FSM pass 1: BCCH/CCCH + TCH3/TCH9 activation --------
+        pre3 = {id(c): (c.cd.tch3.active, c.cd.align) for c in active}
+        pre9 = {id(c): (c.cd.tch9.active, c.cd.align, c.cd.fn,
+                        c.cd.tch9.tn) for c in active}
         tch3_new: list[_Carrier] = []
         tch3_from: dict[int, int] = {}       # carrier -> first active f
-        for i, car in enumerate(active):
+        is_b, is_c, jb, jc = mb["is_b"], mb["is_c"], mb["jb"], mb["jc"]
+        for car in active:
+            i = slot[id(car)]
             cd = car.cd
-            is_b, is_c = sched[i]
-            bcol = {int(f): j for j, f in enumerate(fr_b[i])}
-            ccol = {int(f): j for j, f in enumerate(fr_c[i])}
             d_align, d_freq = 0, 0.0
             for f in range(F):
                 fn = cd.fn + f
-                if is_b[f]:
-                    jb = bcol[f]
-                    car.bcch_energy = float(ctrl["eb"][i, jb])
-                    if not ctrl["badb"][i, jb]:
-                        l2 = ctrl["l2b"][i, jb]
+                if is_b[i, f]:
+                    j = jb[i, f]
+                    car.bcch_energy = float(res["eb"][i, j])
+                    if not res["badb"][i, j]:
+                        l2 = res["l2b"][i, j]
                         # closed-loop tracking (gmr1_rx.c:782-789),
                         # applied at the block boundary
-                        d_align = int(round(float(ctrl["toab"][i, jb]))) \
+                        d_align = int(round(float(res["toab"][i, j]))) \
                             - (20 * sps >> 1)
-                        d_freq = float(ctrl["ferrb"][i, jb])
+                        d_freq = float(res["ferrb"][i, j])
                         # SI1 realign sets cd.fn to THIS frame's true fn
                         # (and shifts cd.align for a BCCH slot change);
                         # rebase cd.fn to the block start.  sirfn%8
@@ -864,11 +1092,11 @@ class WidebandReceiver:
                         cd.fn = fn - f
                         self._emit(car, gsmtap.GMR1_BCCH, fn,
                                    cd.sa_bcch_stn, l2)
-                if is_c[f] and not ctrl["badc"][i, ccol[f]]:
-                    jc = ccol[f]
+                if is_c[i, f] and not res["badc"][i, jc[i, f]]:
+                    j = jc[i, f]
                     min_e = car.bcch_energy / 2.0
-                    if not (float(ctrl["ec"][i, jc]) < min_e):  # nan-safe
-                        l2 = ctrl["l2c"][i, jc]
+                    if not (float(res["ec"][i, j]) < min_e):  # nan-safe
+                        l2 = res["l2c"][i, j]
                         if ccch_is_imm_ass(l2):
                             st3 = cd.tch3
                             st3.active = True
@@ -891,64 +1119,67 @@ class WidebandReceiver:
 
         t = self._tick("walk_ctrl", t)
 
-        # ---- phase 2 walk over the pre-dispatched results ---------------
-        facch_jobs, speech_jobs = [], []
+        # ---- TCH3 walk over the speculative in-graph results -----------
         new_ids = {id(c) for c in tch3_new}
-        if tch3_pre:
-            # carriers re-assigned or re-aligned during pass 1 have
-            # stale pre-dispatched windows: skip here, re-dispatch below
-            skip = {id(c): F for c in tch3_pre
-                    if id(c) in new_ids or c.cd.align != align_pre[id(c)]}
-            fj, sj = self._walk_tch3(tch3_pre, skip, t3, F)
-            facch_jobs += fj
-            speech_jobs += sj
+        fev: list = []
+        # carriers re-assigned or re-aligned during pass 1 have stale
+        # pre-dispatched windows: walk the supplemental phase instead
+        cars3 = [c for c in active if pre3[id(c)][0]
+                 and id(c) not in new_ids
+                 and c.cd.align == pre3[id(c)][1]]
+        if cars3:
+            rows3 = np.fromiter((slot[id(c)] for c in cars3), np.int64,
+                                len(cars3))
+            fev += self._walk_tch3_vec(cars3, rows3, res, {}, F,
+                                       big["f_ebits"])
         supp = tch3_new + [
-            c for c in tch3_pre
-            if c.cd.align != align_pre[id(c)] and id(c) not in new_ids
-            and c.cd.tch3.active]
+            c for c in active
+            if pre3[id(c)][0] and id(c) not in new_ids
+            and c.cd.align != pre3[id(c)][1] and c.cd.tch3.active]
         if supp:
-            t3n = _fetch(self._dispatch_tch3(supp))
-            fj, sj = self._walk_tch3(supp, tch3_from, t3n, F)
-            facch_jobs += fj
-            speech_jobs += sj
-
+            s3, feb_s = _phase_tch3s(
+                self.streams, jnp.asarray(self._build_sub_meta(
+                    supp, "tch3", F)), self._kc_dev, sps, F)
+            res_s = _fetch(s3)
+            fev += self._walk_tch3_vec(supp, np.arange(len(supp)), res_s,
+                                       tch3_from, F, feb_s)
+        jobs = self._facch_collect(fev)
         t = self._tick("walk_tch3", t)
 
-        # ---- dispatch every result decode, then ONE fetch ---------------
-        # (each separate readback pays the tunnel's D2H round trip)
-        futs = {}
-        if facch_jobs:
-            futs["facch"] = self._dispatch_facch(facch_jobs)
-        if speech_jobs:
-            futs["speech"] = self._dispatch_speech(speech_jobs)
-        ctx9 = None
-        if tch9_pre:
-            stale9 = [c for c in tch9_pre
-                      if (c.cd.align, c.cd.fn, c.cd.tch9.tn)
-                      != state9_pre[id(c)]]
-            ctx9, futs["t9"] = self._tch9_decode_futs(
-                tch9_pre, t9, skip={id(c) for c in stale9})
-        else:
-            stale9 = []
-        res = _fetch(futs)
-        if facch_jobs:
-            self._walk_facch(facch_jobs, res["facch"])
-        if speech_jobs:
-            self._walk_speech(speech_jobs, res["speech"])
+        self._t9_assigned: set[int] = set()
+        if jobs:
+            self._walk_facch(jobs, *self._decode_facch(jobs))
         t = self._tick("decode_jobs", t)
 
-        # ---- phase 3 emit + supplemental TCH9 ---------------------------
-        if ctx9 is not None:
-            self._tch9_emit(tch9_pre, ctx9, res["t9"])
-        tch9_new = [c for c in active if c.cd.tch9.active
-                    and id(c) not in {id(x) for x in tch9_pre}]
-        supp9 = tch9_new + [c for c in stale9 if c.cd.tch9.active]
-        if supp9:
-            t9f = self._dispatch_tch9(supp9)
-            t9n = dict(sid=_fetch(t9f["sid"]), ebits=t9f["ebits"])
-            ctx9s, futs9s = self._tch9_decode_futs(supp9, t9n)
-            self._tch9_emit(supp9, ctx9s, _fetch(futs9s))
-
+        # ---- TCH9 emission + corrections --------------------------------
+        # the chain already ran in-graph from dispatch-time state; only
+        # carriers whose state changed during the walks (activation with
+        # in-block start, SI1 realign) need their ring rows re-run from
+        # the pre-block rings with corrected windows/validity
+        fix9: list[_Carrier] = []
+        resets: list[int] = []
+        for c in active:
+            a0, al0, f0_, tn0 = pre9[id(c)]
+            st9 = c.cd.tch9
+            if not st9.active:
+                continue
+            assigned = id(c) in self._t9_assigned
+            if not a0:
+                if st9.from_fn <= c.cd.fn + F - 1:
+                    fix9.append(c)
+                    resets.append(1)     # fresh assignment: zero ring
+            elif assigned or (c.cd.align, c.cd.fn, st9.tn) \
+                    != (al0, f0_, tn0):
+                fix9.append(c)
+                # re-assignment re-inits the ring (rx_tch9_init);
+                # plain realign keeps it
+                resets.append(1 if assigned else 0)
+        fix_ids = {id(c) for c in fix9}
+        self._tch9_emit_main(active, slot, mb, res, fix_ids)
+        if fix9:
+            self._tch9_fix(fix9, resets, slot, il_prev, big["il2"], F)
+        else:
+            self._il = big["il2"]
         t = self._tick("tch9", t)
 
         # ---- advance block ----------------------------------------------
@@ -969,48 +1200,114 @@ class WidebandReceiver:
 
     # --- TCH3 host FSM (gmr1_rx.c:356-600 over batched results) ---------
 
-    def _walk_tch3(self, tch3_set, tch3_from, t3, F):
-        facch_jobs, speech_jobs = [], []
-        for i, car in enumerate(tch3_set):
-            cd, st = car.cd, car.cd.tch3
-            f0 = tch3_from.get(id(car), 0)
-            for f in range(f0, F):
-                if not st.active:
-                    break
-                fn = cd.fn + f
-                be = float(t3["et"][i, f])
-                det = (st.energy_dkab + st.energy_burst) / 4.0
-                if be < det:
-                    if not bool(t3["dk_found"][i, f]):
-                        st.weak_cnt += 1
-                        if st.weak_cnt > 8:
-                            self._log(f"[-] ARFCN {car.arfcn} TCH3 END "
-                                      f"@{fn}")
-                            st.active = False
-                    else:
-                        st.energy_dkab = 0.1 * be + 0.9 * st.energy_dkab
-                        self._emit(car, gsmtap.GMR1_TCH3 | gsmtap.GMR1_DKAB,
-                                   fn, st.tn,
-                                   np.asarray(t3["dk_bits"][i, f],
-                                              np.int8).view(np.uint8))
-                    continue
-                st.weak_cnt = 0
-                st.energy_burst = 0.1 * be + 0.9 * st.energy_burst
-                if int(t3["bt"][i, f]) == 0:          # FACCH3
-                    bi = fn & 3
-                    sync_id = int(t3["f_sid"][i, f])
-                    if sync_id != st.sync_id:
-                        facch_jobs.append(self._facch_flush(car, fn))
-                    st.ebits[bi] = np.asarray(t3["f_ebits"][i, f])
-                    st.sync_id = sync_id
-                    st.bi_fn[bi] = fn
-                    st.burst_cnt += 1
-                    if st.burst_cnt == 4:
-                        facch_jobs.append(self._facch_flush(car, fn))
-                else:                                  # speech
-                    speech_jobs.append(
-                        (car, fn, np.asarray(t3["s_ebits"][i, f])))
-        return [j for j in facch_jobs if j is not None], speech_jobs
+    def _walk_tch3_vec(self, tch3_set, rows, res, tch3_from, F, f_ebits):
+        """Vectorized TCH3 FSM walk: the energy gates, DKAB/weak
+        counting and EMA trackers (gmr1_rx.c:531-600) run as
+        whole-array numpy per frame — per-carrier Python only on the
+        (rare) events.  Speech results are already decoded in-graph;
+        this walk merely selects them.  FACCH bursts are recorded as
+        events and returned for the deferred soft-bit gather
+        (_facch_collect) — their ebits never leave the device unless a
+        FACCH burst actually occurred.
+
+        `rows` maps tch3_set position -> result-array row; `f_ebits`
+        is the device-resident (C?, F, 104) tensor the events' soft
+        bits will be gathered from."""
+        n = len(tch3_set)
+        rows = np.asarray(rows)
+        act = np.fromiter((c.cd.tch3.active for c in tch3_set), bool, n)
+        ebv = np.fromiter((c.cd.tch3.energy_burst for c in tch3_set),
+                          np.float64, n)
+        edv = np.fromiter((c.cd.tch3.energy_dkab for c in tch3_set),
+                          np.float64, n)
+        wk = np.fromiter((c.cd.tch3.weak_cnt for c in tch3_set),
+                         np.int64, n)
+        fn0 = np.fromiter((c.cd.fn for c in tch3_set), np.int64, n)
+        f0v = np.fromiter((tch3_from.get(id(c), 0) for c in tch3_set),
+                          np.int64, n)
+        et = np.asarray(res["et"])[rows].astype(np.float64)
+        dkf = np.asarray(res["dk_found"])[rows]
+        bt = np.asarray(res["bt"])[rows]
+        sidv = np.asarray(res["f_sid"])[rows]
+        speech_ok = np.zeros((n, F), bool)
+        fev = [[] for _ in range(n)]
+        for f in range(F):
+            a = act & (f >= f0v)
+            if not a.any():
+                continue
+            be = et[:, f]
+            weak = a & (be < (edv + ebv) / 4.0)
+            dk = weak & dkf[:, f]
+            nodk = weak & ~dkf[:, f]
+            wk[nodk] += 1
+            tear = nodk & (wk > 8)
+            act[tear] = False
+            edv[dk] = 0.1 * be[dk] + 0.9 * edv[dk]
+            strong = a & ~weak
+            wk[strong] = 0
+            ebv[strong] = 0.1 * be[strong] + 0.9 * ebv[strong]
+            isfa = strong & (bt[:, f] == 0)
+            issp = strong & (bt[:, f] != 0)
+            speech_ok[issp, f] = True
+            for i in np.flatnonzero(dk):
+                self._emit(tch3_set[i],
+                           gsmtap.GMR1_TCH3 | gsmtap.GMR1_DKAB,
+                           int(fn0[i]) + f, tch3_set[i].cd.tch3.tn,
+                           np.asarray(res["dk_bits"][rows[i], f],
+                                      np.int8).view(np.uint8))
+            for i in np.flatnonzero(tear):
+                self._log(f"[-] ARFCN {tch3_set[i].arfcn} TCH3 END "
+                          f"@{int(fn0[i]) + f}")
+            for i in np.flatnonzero(isfa):
+                fev[i].append((f, int(fn0[i]) + f, int(sidv[i, f])))
+        for i, c in enumerate(tch3_set):
+            st = c.cd.tch3
+            st.active = bool(act[i])
+            st.energy_burst = float(ebv[i])
+            st.energy_dkab = float(edv[i])
+            st.weak_cnt = int(wk[i])
+        sf0, sf1 = res["s_f0"], res["s_f1"]
+        for i, f in zip(*np.nonzero(speech_ok)):
+            r = rows[i]
+            tch3_set[i].speech.append(
+                np.asarray(sf0[r, f], np.uint8).tobytes())
+            tch3_set[i].speech.append(
+                np.asarray(sf1[r, f], np.uint8).tobytes())
+        return [(tch3_set[i], f_ebits, int(rows[i]), fev[i])
+                for i in range(n) if fev[i]]
+
+    def _facch_collect(self, fev):
+        """Gather the FACCH soft bits the walks identified (one
+        device gather + fetch per source tensor — zero round trips on
+        blocks without FACCH bursts), then replay the 4-burst
+        accumulate / sync-flip FSM (gmr1_rx.c:454-493) in fn order."""
+        if not fev:
+            return []
+        by_src: dict[int, tuple[object, list]] = {}
+        for car, tensor, row, evs in fev:
+            ten, items = by_src.setdefault(id(tensor), (tensor, []))
+            items.extend((row, f) for f, _fn, _s in evs)
+        got = {}
+        for tid, (tensor, items) in by_src.items():
+            npad = _pad_cnt(len(items))
+            ij = np.asarray(items + [items[0]] * (npad - len(items)),
+                            np.int32)
+            rowsnp = _fetch(_gather_if(tensor, jnp.asarray(ij)))
+            got[tid] = dict(zip(items, rowsnp))
+        jobs = []
+        for car, tensor, row, evs in fev:
+            st = car.cd.tch3
+            for f, fn, sid in evs:
+                if sid != st.sync_id:
+                    jobs.append(self._facch_flush(car, fn))
+                bi = fn & 3
+                st.ebits[bi] = got[id(tensor)][(row, f)]
+                st.sync_id = sid
+                st.bi_fn[bi] = fn
+                st.burst_cnt += 1
+                if st.burst_cnt == 4:
+                    jobs.append(self._facch_flush(car, fn))
+        return [j for j in jobs if j is not None]
 
     def _facch_flush(self, car: _Carrier, fn: int):
         """Snapshot a 4-burst FACCH3 group for batched decode
@@ -1030,28 +1327,33 @@ class WidebandReceiver:
         st.ebits[:] = 0
         return job
 
-    def _dispatch_facch(self, jobs):
-        """Both cipher variants of every flush in one batched decode
-        (async dispatch; walk with _walk_facch on the fetched result)."""
-        eb = np.stack([j["eb"] for j in jobs] * 2)
-        ciphs = np.stack([np.zeros(384, np.uint8) for j in jobs]
-                         + [j["ciph"] for j in jobs])
-        l2, _sbits, bad, _m = facch3.decode(jnp.asarray(eb),
-                                            jnp.asarray(ciphs))
-        return l2, bad
+    def _decode_facch(self, jobs):
+        """Both cipher variants of every flush in one batched jitted
+        decode (padded to a stable bucket so job-count churn does not
+        recompile)."""
+        n = len(jobs)
+        npad = _pad_cnt(n)
+        eb = np.zeros((npad, 416), np.int8)
+        ciph = np.zeros((2 * npad, 384), np.uint8)
+        for k, j in enumerate(jobs):
+            eb[k] = j["eb"]
+            ciph[npad + k] = j["ciph"]
+        eb2 = np.concatenate([eb, eb])
+        l2, _sbits, bad, _m = _facch3_decode(jnp.asarray(eb2),
+                                             jnp.asarray(ciph))
+        return _fetch((l2, bad)), npad
 
-    def _walk_facch(self, jobs, res) -> None:
+    def _walk_facch(self, jobs, res, npad: int) -> None:
         """The reference's cipher retry/learn rule host-side."""
         l2, bad = res
-        n = len(jobs)
         for k, j in enumerate(jobs):
             car, st = j["car"], j["car"].cd.tch3
             if j["had_ciph"]:
-                l2k, badk = l2[n + k], bad[n + k]
+                l2k, badk = l2[npad + k], bad[npad + k]
             else:
                 l2k, badk = l2[k], bad[k]
-                if badk and not bad[n + k]:       # cipher retry hits
-                    l2k, badk = l2[n + k], bad[n + k]
+                if badk and not bad[npad + k]:    # cipher retry hits
+                    l2k, badk = l2[npad + k], bad[npad + k]
                     st.ciph = 1
             if not badk:
                 self._emit(car, gsmtap.GMR1_TCH3 | gsmtap.GMR1_FACCH,
@@ -1059,166 +1361,92 @@ class WidebandReceiver:
                 if facch3_is_ass_cmd_1(l2k):
                     car.cd.tch9.active = True
                     car.cd.tch9.tn = facch3_ass_cmd_1_parse(l2k)
-                    # host-numpy ring state: the batched chain stacks
-                    # all carriers' rings every block — device-array
-                    # state here would cost one ~40 ms tunnel fetch per
-                    # carrier at stack time (measured: 42 s for 1064)
-                    car.cd.tch9.il = InterleaverState(
-                        buf=np.zeros((tch9.INTER_DEPTH, tch9.INTER_WIDTH),
-                                     np.float32),
-                        n=np.zeros((), np.int32))
                     # frames before the assignment must not feed the
                     # CSD deinterleaver (the reference only starts
-                    # rx_tch9 on the next frame, gmr1_rx.c:437-441)
+                    # rx_tch9 on the next frame, gmr1_rx.c:437-441);
+                    # the device-resident ring row is reset by the
+                    # correction chain (_chain_fix)
                     car.cd.tch9.from_fn = j["fn"] + 1
+                    self._t9_assigned.add(id(car))
                     self._log(f"[+] ARFCN {car.arfcn} TCH9 on TN "
                               f"{car.cd.tch9.tn}")
 
-    def _dispatch_speech(self, jobs):
-        eb = np.stack([e for _c, _f, e in jobs])
-        ciph = np.stack([
-            self._a5(fn, 208) if car.cd.tch3.ciph
-            else np.zeros(208, np.uint8)
-            for car, fn, _e in jobs])
-        f0, f1, _s, _m = tch3.decode(jnp.asarray(eb), jnp.asarray(ciph))
-        return f0, f1
-
-    def _walk_speech(self, jobs, res) -> None:
-        f0, f1 = res
-        for k, (car, _fn, _e) in enumerate(jobs):
-            car.speech.append(bytes(bytearray(f0[k])))
-            car.speech.append(bytes(bytearray(f1[k])))
-
     # --- TCH9 (gmr1_rx.c:276-353 over batched demods) --------------------
 
-    def _dispatch_tch9(self, tch9_set):
-        """Dispatch (async) the NT9 demod phase for these carriers."""
+    def _tch9_emit_main(self, active, slot, mb, res, fix_ids) -> None:
+        """Emit the block phase's speculative TCH9 results (FACCH9
+        frames + chained CSD payloads) for every carrier whose
+        dispatch-time state survived the walks."""
+        a9, act, started, fns = mb["a9"], mb["act"], mb["started"], \
+            mb["fns"]
+        sid = np.asarray(res["sid9"])
+        badf9 = np.asarray(res["badf9"])
+        for car in active:
+            i = slot[id(car)]
+            if not (a9[i] and act[i]) or id(car) in fix_ids:
+                continue
+            tn = car.cd.tch9.tn
+            for f in np.flatnonzero(started[i]):
+                if sid[i, f] == 0:
+                    if not badf9[i, f]:
+                        self._emit(car,
+                                   gsmtap.GMR1_TCH9 | gsmtap.GMR1_FACCH,
+                                   int(fns[i, f]), tn, res["l2f9"][i, f])
+                else:
+                    l2 = np.asarray(res["l2a"][f, i])
+                    self._emit(car, gsmtap.GMR1_TCH9, int(fns[i, f]),
+                               tn, l2)
+                    car.csd.append(bytes(bytearray(l2)))
+
+    def _tch9_fix(self, fix9, resets, slot, il_prev, il2, F: int) -> None:
+        """Correction pass for carriers whose TCH9 state changed during
+        the walks (same-block activation / SI1 realign): re-demod their
+        NT9 windows with the updated state, emit FACCH9 from the fresh
+        results, and re-run the CSD chain for just their ring rows from
+        the pre-block rings (_chain_fix), scattering into the
+        optimistic post-block rings."""
         sps = self.sps
-        n9 = len(tch9_set)
-        C9 = _pad_cnt(n9)
-        rows9 = [c.col for c in tch9_set]
-        rows9 += [rows9[0]] * (C9 - n9)
-        w = sps + sps // 2
-        idx = self._pad_idx(
-            self._mk_idx(tch9_set, lambda c: c.cd.tch9.tn, w), C9,
-            BU.NT9.len_syms * sps + w)
-        fr9 = np.zeros(C9, np.float32)
-        for i, car in enumerate(tch9_set):
-            fr9[i] = car.cd.freq_err
-        meta = np.concatenate(
-            [np.asarray(rows9, np.int32)[:, None], idx], axis=1)
-        return _phase_tch9(self.streams, jnp.asarray(meta),
-                           jnp.asarray(fr9), sps)
-
-    def _il9_state(self, tch9_set, C9: int) -> InterleaverState:
-        """Batched deinterleaver rings for these carriers, kept
-        DEVICE-resident across blocks while the set is stable (the
-        host stack + 9 MB/block round trip only happens when carriers
-        join or leave)."""
-        ids = tuple(id(c) for c in tch9_set)
-        cache = getattr(self, "_il9_cache", None)
-        if cache is not None and cache[0] == ids:
-            return cache[2]
-        self._il9_writeback()
-        n9 = len(tch9_set)
-        buf = np.stack([np.asarray(c.cd.tch9.il.buf) for c in tch9_set])
-        n = np.stack([np.asarray(c.cd.tch9.il.n) for c in tch9_set])
-        if C9 != n9:
-            buf = np.concatenate([buf, np.tile(buf[:1], (C9 - n9, 1, 1))])
-            n = np.concatenate([n, np.tile(n[:1], C9 - n9)])
-        return InterleaverState(buf=jnp.asarray(buf), n=jnp.asarray(n))
-
-    def _il9_writeback(self) -> None:
-        """Flush the device-resident ring cache back to per-carrier
-        host state (set membership changed)."""
-        cache = getattr(self, "_il9_cache", None)
-        if cache is None:
-            return
-        _ids, cars, il_dev = cache
-        il_np = _fetch(il_dev)
-        for i, car in enumerate(cars):
-            car.cd.tch9.il = InterleaverState(buf=il_np.buf[i],
-                                              n=il_np.n[i])
-        self._il9_cache = None
-
-    def _tch9_decode_futs(self, tch9_set, t9, skip=frozenset()):
-        """Dispatch the NT9 result decodes (sid fetched, soft bits
-        device-resident): FACCH9 batch + chained CSD decode.  Carriers
-        in `skip` are left untouched (stale windows — their
-        supplemental re-dispatch handles this block).  Returns
-        (ctx, futures) — fetch the futures and emit via _tch9_emit."""
-        F = self.block_frames
-        n9 = len(tch9_set)
-        C9 = _pad_cnt(n9)
-
-        fns = np.asarray([[car.cd.fn + f for f in range(F)]
-                          for car in tch9_set], np.int64)       # (n9, F)
-        sid = np.asarray(t9["sid"][:n9])
+        n = len(fix9)
+        s9, e9s, kss = _phase_tch9s(
+            self.streams, jnp.asarray(self._build_sub_meta(
+                fix9, "tch9", F)), self._kc_dev, sps, F)
+        r9 = _fetch(s9)
+        fns = np.asarray([[c.cd.fn + f for f in range(F)] for c in fix9],
+                         np.int64)
         started = fns >= np.asarray(
-            [getattr(c.cd.tch9, "from_fn", 0) for c in tch9_set])[:, None]
-        if skip:
-            started &= np.asarray(
-                [id(c) not in skip for c in tch9_set])[:, None]
+            [c.cd.tch9.from_fn for c in fix9])[:, None]
+        sid = np.asarray(r9["sid9"][:n])
         is_f9 = (sid == 0) & started
         is_t9 = (sid == 1) & started
-        ctx = dict(fns=fns, is_f9=is_f9, is_t9=is_t9)
-        futs = {}
-
-        # FACCH9: one batched decode of every sync_id==0 burst (rows
-        # gathered on device; keystreams native host batch)
-        jf = np.argwhere(is_f9)
-        ctx["jf"] = jf
-        if len(jf):
-            eb_dev = t9["ebits"][jnp.asarray(jf[:, 0]),
-                                 jnp.asarray(jf[:, 1])]
-            ufn, uinv = np.unique(
-                np.asarray([fns[i, f] for i, f in jf]) & 0xFFFFFFFF,
-                return_inverse=True)
-            ciph = native.a5_keystream_batch(self.kc, ufn, 658)[uinv]
-            l2, _sa, _st, bad, _m = facch9.decode(eb_dev,
-                                                  jnp.asarray(ciph))
-            futs["f9"] = (l2, bad)
-
-        # TCH9 CSD: ONE chained decode batched across carriers — the
-        # validity mask gates each carrier's depth-3 ring so only real
-        # TCH9 bursts advance it (identical to the sequential
-        # per-burst walk, gmr1_rx.c:321-347 / tch9.c:109).  Soft bits
-        # and rings stay on device; A5 computes in-graph; only the
-        # decoded payloads (0.5 MB) come back.
-        if is_t9.any():
-            ilb = self._il9_state(tch9_set, C9)
-            vmask = np.zeros((F, C9), bool)
-            vmask[:, :n9] = is_t9.T
-            fns_pad = np.zeros((C9, F), np.uint32)
-            fns_pad[:n9] = fns & 0xFFFFFFFF
-            il2, l2a, _sa, _stb, _m = _tch9_chain(
-                t9["ebits"], ilb, jnp.asarray(fns_pad),
-                self._kc_dev, jnp.asarray(vmask))
-            self._il9_cache = (tuple(id(c) for c in tch9_set),
-                               list(tch9_set), il2)
-            futs["l2a"] = l2a
-        return ctx, futs
-
-    def _tch9_emit(self, tch9_set, ctx, res) -> None:
-        """Emit fetched TCH9 results (FACCH9 frames + CSD payloads)."""
-        F = self.block_frames
-        fns, is_t9, jf = ctx["fns"], ctx["is_t9"], ctx["jf"]
-        if "f9" in res:
-            l2, bad = res["f9"]
-            for k, (i, f) in enumerate(jf):
-                car = tch9_set[i]
-                if not bad[k]:
-                    self._emit(car, gsmtap.GMR1_TCH9 | gsmtap.GMR1_FACCH,
-                               int(fns[i, f]), car.cd.tch9.tn, l2[k])
-        if "l2a" in res:
-            l2a = res["l2a"]
-            for i, car in enumerate(tch9_set):
-                for f in range(F):
-                    if is_t9[i, f]:
-                        l2 = np.asarray(l2a[f, i])
-                        self._emit(car, gsmtap.GMR1_TCH9, int(fns[i, f]),
-                                   car.cd.tch9.tn, l2)
-                        car.csd.append(bytes(bytearray(l2)))
+        for i, f in np.argwhere(is_f9):
+            if not r9["badf9"][i, f]:
+                self._emit(fix9[i], gsmtap.GMR1_TCH9 | gsmtap.GMR1_FACCH,
+                           int(fns[i, f]), fix9[i].cd.tch9.tn,
+                           r9["l2f9"][i, f])
+        Cs = _pad_cnt(n)
+        fix = np.zeros((Cs, 4), np.int32)
+        slots = np.fromiter((slot[id(c)] for c in fix9), np.int64, n)
+        fix[:n, 0] = slots
+        fix[:n, 1] = resets          # 1 = newly activated: zero the ring
+        fix[:n, 2] = (is_t9.astype(np.int64)
+                      << np.arange(F)).sum(1).astype(np.int32)
+        if Cs != n:
+            # pad rows scatter an identity update into a slot that is
+            # NOT being fixed (duplicate writers then all write the
+            # row's current value — deterministic)
+            free = next(s for s in range(self._il.buf.shape[0])
+                        if s not in set(slots.tolist()))
+            fix[n:, 0] = free
+            fix[n:, 3] = 1
+        self._il, l2a = _chain_fix(il_prev, il2, jnp.asarray(fix),
+                                   e9s, kss)
+        l2a = _fetch(l2a)
+        for i, car in enumerate(fix9):
+            tn = car.cd.tch9.tn
+            for f in np.flatnonzero(is_t9[i]):
+                l2 = np.asarray(l2a[f, i])
+                self._emit(car, gsmtap.GMR1_TCH9, int(fns[i, f]), tn, l2)
+                car.csd.append(bytes(bytearray(l2)))
 
     # --- wide carriers (width 2/3/5) --------------------------------------
 
@@ -1265,6 +1493,31 @@ class WidebandReceiver:
             self._log(f"[+] wide {ch}: {len(rxw.frames)} L2 frames")
 
     # --- top level --------------------------------------------------------
+
+    def device_block_time(self, iters: int = 4) -> float:
+        """Pure device execution time per block (ingest step + block
+        phase), measured by re-executing the jitted graphs on the
+        current resident state — i.e. the application's throughput
+        with the host/link out of the picture (what a production
+        PCIe/DMA attach would see).  Call after run()."""
+        if self._last_put is None or self._last_meta is None:
+            raise RuntimeError("run() first")
+        meta_np, nb, nc = self._last_meta
+        meta = jnp.asarray(meta_np)
+        F = self.block_frames
+
+        def once():
+            out = self._step(self._last_put, *self._state)
+            small, _big = _phase_block(out[0], meta, self._il,
+                                       self._kc_dev, self.sps, nb, nc, F)
+            return small
+        jax.block_until_ready(once())          # warm
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(iters):
+            last = once()
+        jax.block_until_ready(last)
+        return (time.perf_counter() - t0) / iters
 
     def run(self) -> int:
         """Acquire + decode the whole capture.  Returns #L2 frames."""

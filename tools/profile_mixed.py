@@ -22,10 +22,11 @@ jax.config.update("jax_compilation_cache_dir",
 from gmr1_tpu.channelizer import Channelizer
 from gmr1_tpu.channelizer.pfb import _analyze_slab_packed
 from gmr1_tpu.ops.pallas_pfb import to_slab
+from gmr1_tpu.ops import a5 as a5op
 from gmr1_tpu.ops import cplx
 from gmr1_tpu.sdr import bursts as BU
 from gmr1_tpu.sdr import dkab, modem
-from gmr1_tpu.l1 import bcch, facch3, tch3, tch9
+from gmr1_tpu.l1 import bcch, facch3, facch9, tch3, tch9
 
 FRAME_OUT = 936 * 4
 F = 4
@@ -76,6 +77,9 @@ def windows(c2, gs):
     return jnp.stack([wt[:, :m], wt[:, m:]], axis=-1)
 
 
+stage_ms = {}
+
+
 def bench(name, fn, *args, iters=20):
     fn = jax.jit(fn)
     o = jax.block_until_ready(fn(*args))
@@ -84,6 +88,7 @@ def bench(name, fn, *args, iters=20):
         o = fn(*args)
     jax.block_until_ready(o)
     dt = (time.perf_counter() - t0) / iters * 1e3
+    stage_ms[name] = dt
     print(f"{name:28s} {dt:8.3f} ms")
     return dt
 
@@ -128,5 +133,57 @@ il0 = jax.vmap(lambda _: tch9.interleaver_init())(jnp.arange(m))
 tot += bench("tch9.decode_frames (F,M)", lambda e, i: tch9.decode_frames(
     e, tch9.MODE_9K6, i)[1], eb_9, il0)
 
+# stages the r05 block phase added (in-graph A5 + speculative decodes)
+key = jnp.zeros(8, jnp.uint8)
+fns = jnp.arange(F * m, dtype=jnp.uint32)
+tot += bench("a5 keystream 658 (F*M)", lambda f: a5op.keystream(
+    key, f, 658)[0], fns)
+tot += bench("a5 keystream 208 (F*M)", lambda f: a5op.keystream(
+    key, f, 208)[0], fns)
+ks658 = jax.block_until_ready(
+    jax.jit(lambda f: a5op.keystream(key, f, 658)[0])(fns)
+).reshape(F, m, 658)
+tot += bench("facch9.decode (F,M)", lambda e, c: facch9.decode(e, c)[0],
+             eb_9, ks658)
+
 print(f"{'SUM of stages':28s} {tot:8.3f} ms")
-print(f"step budget at RT: {n_step / 34e6 * 1e3:.1f} ms for {n_step} samples")
+budget = n_step / 34e6 * 1e3
+print(f"step budget at RT: {budget:.1f} ms for {n_step} samples")
+
+# ---- roofline attribution (VERDICT r04 #8) ---------------------------
+# Where does the device time go, and is the dominant stage MXU- or
+# HBM-bound?  FLOP/byte models for the two big dense stages; peaks are
+# the public TPU v5e figures (197 bf16 TFLOP/s, 819 GB/s HBM).
+PEAK_TF, PEAK_GBs = 197e12, 819e9
+print("\n-- shares --")
+for name, ms in sorted(stage_ms.items(), key=lambda kv: -kv[1]):
+    print(f"{name:28s} {ms:8.3f} ms  {100 * ms / tot:5.1f}%")
+
+# PFB analysis: polyphase filter (r_cnt x p x m complex MAC) + DFT as
+# an m x m matmul per row (bf16)
+fl_filter = r_cnt * chz.analyzer.p * m * 8
+fl_dft = r_cnt * m * m * 8
+t_pfb = stage_ms.get("pfb_analysis", 0.0) / 1e3
+by_pfb = (r_cnt * chz.analyzer.p * m * 8      # slab read (f32 planar)
+          + r_cnt * m * 8)                    # bank write
+if t_pfb:
+    print(f"\npfb_analysis: {(fl_filter + fl_dft) / t_pfb / 1e12:.1f} "
+          f"TFLOP/s ({100 * (fl_filter + fl_dft) / t_pfb / PEAK_TF:.1f}% "
+          f"MXU peak), {by_pfb / t_pfb / 1e9:.0f} GB/s "
+          f"({100 * by_pfb / t_pfb / PEAK_GBs:.1f}% HBM peak)")
+# RRC windows: per output sample a k_span-row window matmul
+k_span = rrc.window_matrix(FRAME_OUT, FRAME_OUT)[1].shape[1]
+t_win = stage_ms.get("windows(all)", 0.0) / 1e3
+n_wins = m * (1 + 3 * F)                     # bcch + (s, f, 9) x F
+n_out = (BU.BCCH.len_syms * 4 + WIN) + 3 * F * 0  # per-type lens differ;
+# use the dominant NT9 length for the estimate
+n_out = m * ((BU.BCCH.len_syms * 4 + WIN)
+             + F * (2 * (BU.NT3_FACCH.len_syms * 4 + W3)
+                    + (BU.NT9.len_syms * 4 + W3)))
+fl_win = n_out * k_span * 8
+if t_win:
+    print(f"windows: {fl_win / t_win / 1e12:.1f} TFLOP/s "
+          f"({100 * fl_win / t_win / PEAK_TF:.1f}% MXU peak)")
+dom = max(stage_ms, key=stage_ms.get)
+print(f"\ndominant stage: {dom} ({stage_ms[dom]:.2f} ms, "
+      f"{100 * stage_ms[dom] / tot:.0f}% of device step)")
