@@ -170,6 +170,12 @@ def test_a5_keystream_properties(rng):
     # A5/0 = zeros
     z, _ = a5.cipher_stream(0, key, np.array([3], dtype=np.uint32), 16)
     assert np.all(np.array(z) == 0)
+    # stream-cipher prefix property: the 208-bit keystream is the
+    # first 208 bits of the 658-bit one for the same (key, fn) — the
+    # wideband block phase relies on this to run ONE keystream scan
+    # for both the TCH3 speech cipher and the NT9 chain
+    long_dl, _ = a5.keystream_np(key, 10, 658)
+    np.testing.assert_array_equal(dl0, long_dl[:208])
 
 
 def test_tch9_decode_frames_matches_sequential(rng):

@@ -230,8 +230,8 @@ def test_sharded_streaming_identical_frames(wb_e2e):
 
 
 def test_int16_ingest_same_decoded_content(wb_e2e):
-    """h2d_dtype=int16 (half the host->device bytes; ~72 dB quant
-    floor) decodes the same verified content on the same capture — the
+    """h2d_dtype=int16 (half the host->device bytes; per-block
+    peak-normalized scale) decodes the same verified content — the
     link-bound deployment form bench_app measures.  CRC-less TCH9
     decodes of NOISE slots (after the seeded bursts end) legitimately
     differ under quantization, so the comparison is against the
