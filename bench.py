@@ -109,6 +109,8 @@ def main() -> None:
         "application_msps": app["value"],
         "application_vs_realtime": app["vs_realtime"],
         "application_steady_msps": app.get("steady_msps"),
+        "application_steady_median_block_msps":
+            app.get("steady_median_block_msps"),
         "application_device_msps": app.get("device_msps"),
         "application_device_vs_realtime": app.get("device_vs_realtime"),
         "application_rtts_per_block": app["rtts_per_block"],

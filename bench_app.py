@@ -373,6 +373,13 @@ def main(argv=None) -> None:
     total = src.total
     msps = total / (t_acq + t_loop) / 1e6
     steady = total / t_loop / 1e6
+    # steady-state per-block rate from the median block wall: excludes
+    # the one-time in-loop costs (remote executable load is sometimes
+    # ~1 min on this tunnel, sometimes ~2 s — run-to-run luck that the
+    # whole-loop average would launder into the throughput number)
+    walls = sorted(rx.block_walls[2:]) or sorted(rx.block_walls)
+    med_wall = walls[len(walls) // 2]
+    steady_med = n_block / med_wall / 1e6
     rtts = (stats["n"] - acq_rtts) / max(1, blocks_done)
     print(json.dumps({
         "metric": "application_rx_throughput",
@@ -381,6 +388,7 @@ def main(argv=None) -> None:
         "vs_realtime": round(msps / (fs / 1e6), 2),
         "steady_msps": round(steady, 2),
         "steady_vs_realtime": round(steady / (fs / 1e6), 2),
+        "steady_median_block_msps": round(steady_med, 2),
         "device_msps": round(dev_msps, 2),
         "device_vs_realtime": round(dev_msps / (fs / 1e6), 2),
         "acquire_s": round(t_acq, 2),

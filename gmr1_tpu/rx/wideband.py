@@ -21,17 +21,21 @@ batches and device memory stays O(block), not O(capture):
       -> rolling stream buffer of (block_frames+1) tail + block_frames
          new frames per carrier (one block of lookahead so every burst
          window of the frames being processed is resident)
-  then per block, three batched demod phases over the buffer:
-    phase 1  ONE call demodulates + FEC-decodes the BCCH and CCCH
-             windows of every (carrier, frame) pair in the block
-    phase 2  ONE call runs the whole TCH3 slot path for carriers
-             with an assigned channel: window energy, DKAB, burst
-             type detect, FACCH *and* speech demod — everything
-             computed, winner selected host-side
-    phase 3  ONE call demodulates NT9 windows for TCH9 carriers
+  then ONE jitted graph per block (_phase_block) computes EVERYTHING
+  speculatively from the pre-block channel state: BCCH+CCCH demod and
+  FEC decode on the packed control schedule, the full TCH3 slot path
+  (energy, DKAB, burst-type detect, FACCH demod, speech decode with
+  in-graph A5), NT9 demod, FACCH9 decode, and the chained TCH9 CSD
+  decode over device-resident deinterleaver rings — and every small
+  result is packed into a single uint8 array, so the block costs the
+  host ONE packed int32 meta upload, one dispatch, and ONE fetch.
   The per-carrier channel FSMs (gmr1_rx.c:356-600) then walk the
-  batched results on host: they are tiny and sequential, and the
-  host pays ~4 device round-trips per 0.32 s block.
+  fetched results and SELECT: soft bits never cross the link (FACCH3
+  bursts gather on demand; rare mid-block FSM events — activation,
+  SI1 realign, reassignment — re-run a small correction phase from
+  the pre-block rings).  Steady state is ~1.1 link round trips per
+  0.32 s block; the next block's sample upload is enqueued behind the
+  fetch and overlaps the walks.
 
 With `mesh=jax.sharding.Mesh(...)` the ingest step runs as one SPMD
 shard_map program (time-sharded analysis, carrier-sharded back-end) and
@@ -1208,6 +1212,13 @@ class WidebandReceiver:
         # the pre-block rings with corrected windows/validity
         fix9: list[_Carrier] = []
         resets: list[int] = []
+        # per-carrier bound on the MAIN chain's emissions: the chain
+        # scan is causal, so for a mid-block re-assignment the frames
+        # BEFORE the handover decoded correctly on the old slot and
+        # must still be emitted (the reference's sequential walk does,
+        # gmr1_rx.c:276-353); only frames from the new from_fn onward
+        # come from the correction pass
+        fix_bound: dict[int, int] = {}
         for c in active:
             a0, al0, f0_, tn0 = pre9[id(c)]
             st9 = c.cd.tch9
@@ -1218,14 +1229,21 @@ class WidebandReceiver:
                 if st9.from_fn <= c.cd.fn + F - 1:
                     fix9.append(c)
                     resets.append(1)     # fresh assignment: zero ring
+                    fix_bound[id(c)] = -1 << 62   # nothing from main
+            elif assigned and (c.cd.align, c.cd.fn) == (al0, f0_):
+                # re-assignment re-inits the ring (rx_tch9_init); main
+                # results stay valid up to the handover frame
+                fix9.append(c)
+                resets.append(1)
+                fix_bound[id(c)] = st9.from_fn
             elif assigned or (c.cd.align, c.cd.fn, st9.tn) \
                     != (al0, f0_, tn0):
+                # realigned mid-block: the old windows are suspect for
+                # the whole block — re-run it all
                 fix9.append(c)
-                # re-assignment re-inits the ring (rx_tch9_init);
-                # plain realign keeps it
                 resets.append(1 if assigned else 0)
-        fix_ids = {id(c) for c in fix9}
-        self._tch9_emit_main(active, slot, mb, res, fix_ids)
+                fix_bound[id(c)] = -1 << 62
+        self._tch9_emit_main(active, slot, mb, res, fix_bound, pre9)
         if fix9:
             self._tch9_fix(fix9, resets, slot, il_prev, big["il2"], F)
         else:
@@ -1423,20 +1441,28 @@ class WidebandReceiver:
 
     # --- TCH9 (gmr1_rx.c:276-353 over batched demods) --------------------
 
-    def _tch9_emit_main(self, active, slot, mb, res, fix_ids) -> None:
+    def _tch9_emit_main(self, active, slot, mb, res, fix_bound,
+                        pre9) -> None:
         """Emit the block phase's speculative TCH9 results (FACCH9
-        frames + chained CSD payloads) for every carrier whose
-        dispatch-time state survived the walks."""
+        frames + chained CSD payloads) for every (carrier, frame)
+        whose dispatch-time state survived the walks — `fix_bound`
+        caps the valid frame range of carriers whose state changed
+        mid-block (their later frames come from _tch9_fix)."""
         a9, act, started, fns = mb["a9"], mb["act"], mb["started"], \
             mb["fns"]
         sid = np.asarray(res["sid9"])
         badf9 = np.asarray(res["badf9"])
         for car in active:
             i = slot[id(car)]
-            if not (a9[i] and act[i]) or id(car) in fix_ids:
+            if not (a9[i] and act[i]):
                 continue
-            tn = car.cd.tch9.tn
-            for f in np.flatnonzero(started[i]):
+            bound = fix_bound.get(id(car))
+            ok = started[i] if bound is None \
+                else started[i] & (fns[i] < bound)
+            # dispatch-time slot: a mid-block re-assignment changes
+            # cd.tch9.tn, but these frames decoded on the OLD slot
+            tn = pre9[id(car)][3]
+            for f in np.flatnonzero(ok):
                 if sid[i, f] == 0:
                     if not badf9[i, f]:
                         self._emit(car,
@@ -1583,8 +1609,10 @@ class WidebandReceiver:
         # bound (align + (F+2) frames > n_stream)
         drain_max = self.T_tail // self.S_b + 3
         b = drained = 0
+        self.block_walls: list[float] = []   # per-iteration wall clock
         pending = None   # prefetched (streams, buf0, was_eof) of block b
         while True:
+            t_iter = time.perf_counter()
             narrow_done = all(c.done for c in self.carriers)
             if narrow_done and (not self._wide or self._eof):
                 break
@@ -1621,5 +1649,6 @@ class WidebandReceiver:
             if self._wide:
                 self._step_wide()
             b += 1
+            self.block_walls.append(time.perf_counter() - t_iter)
         self._process_wide()
         return len(self.frames)

@@ -290,6 +290,71 @@ def test_multibeam_two_beams_one_arfcn(wb_e2e):
             assert fn in si1s and l2 == bytes(bytearray(si1s[fn]))
 
 
+def test_tch9_reassignment_resets_ring(wb_e2e):
+    """A second ASS.CMD.1 while TCH9 is already active moves the
+    channel to a new timeslot and re-inits the deinterleaver ring
+    (rx_tch9_init semantics): CSD payloads decode bit-exact on BOTH
+    slots, before and after the handover — the correction-dispatch
+    path for an already-active carrier."""
+    from gmr1_tpu import native
+    rng = np.random.default_rng(0x9A55)
+    cap = Capture(rng, n_frames=28, noise=0.005)
+    fill_bcch(cap, rng)
+    # NT9 bursts span 9 slots, so both TCH9 slots must start past the
+    # TCH3 slot's 3-slot footprint and fit in the 24-slot frame
+    tn, tn9a, tn9b = 10, 13, 14
+    kc = np.zeros(8, np.uint8)
+
+    def a5(fn, n):
+        return native.a5_keystream(kc, fn, n)[0]
+
+    cap.place_syms(3, 0, np.asarray(modem.mod(
+        BU.DC6, ccch.encode(imm_ass_l2(rng, tn, 9)))))
+
+    def facch_assign(tn9, ks):
+        fl2 = rng.integers(0, 256, 10, dtype=np.uint8)
+        fl2[3], fl2[4] = 0x06, 0x2E
+        fl2[5] = (fl2[5] & 0xFC) | ((tn9 >> 3) & 0x03)
+        fl2[6] = (fl2[6] & 0x1F) | ((tn9 & 0x07) << 5)
+        fl2[9] &= 0xF0
+        fe = np.asarray(facch3.encode(
+            fl2, np.zeros(32, np.uint8))).reshape(4, 104)
+        for bi, k in enumerate(ks):
+            cap.place_syms(k, tn, np.asarray(modem.mod(
+                BU.NT3_FACCH, fe[bi], sync_id=0)))
+
+    facch_assign(tn9a, (4, 5, 6, 7))       # flush at k=7 -> CSD from k=8
+    facch_assign(tn9b, (12, 13, 14, 15))   # flush at k=15 -> from k=16
+
+    def csd_train(tn9, ks):
+        il = tch9.interleaver_init(dtype=np.uint8)
+        pay = [rng.integers(0, 256, 60, dtype=np.uint8) for _ in ks]
+        for i, k in enumerate(ks):
+            il, eb = tch9.encode(pay[i], tch9.MODE_9K6,
+                                 np.zeros(10, np.uint8),
+                                 np.zeros(4, np.uint8), il,
+                                 a5(F0 + k, 658))
+            cap.place_syms(k, tn9, np.asarray(modem.mod(
+                BU.NT9, np.asarray(eb), sync_id=1)))
+        return [bytes(bytearray(p)) for p in pay]
+
+    pay_a = csd_train(tn9a, range(8, 13))
+    pay_b = csd_train(tn9b, range(16, 21))
+
+    wb2 = mix_wideband({A_FULL: cap.buf}, rng)
+    rx = WidebandReceiver(wb2, FS, CENTER, sps=SPS, arfcns=[A_FULL])
+    rx.run()
+    car = _car(rx, A_FULL)
+    # depth-3 ring: payload i decodes 2 bursts later -> payloads 0..2
+    # of EACH train must appear, in order, and the b-train must start
+    # AFTER the a-train (fresh ring on the new slot)
+    ia = [car.csd.index(p) for p in pay_a[:3] if p in car.csd]
+    ib = [car.csd.index(p) for p in pay_b[:3] if p in car.csd]
+    assert len(ia) == 3 and ia == sorted(ia), (ia, len(car.csd))
+    assert len(ib) == 3 and ib == sorted(ib), (ib, len(car.csd))
+    assert max(ia) < min(ib)
+
+
 def test_wide_channel_receive(wb_e2e):
     """A width-3 carrier (symbol rate 70.2k) carrying FCCH + SI1 BCCHs
     is configured as a wide channel; WidebandReceiver recombines its
