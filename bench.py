@@ -84,15 +84,40 @@ REGRESS_PCT = -5.0        # hard gate: fail on >5% round-over-round drop
 def main() -> None:
     import sys
 
-    import bench_app
+    import os
+    import subprocess
+
     import bench_mixed
     import bench_transponder
     import bench_viterbi
 
+    errors = []
     mixed = _run(bench_mixed.main)
     bcch = _run(bench_transponder.main)
-    vit = {v["metric"]: v for v in _run_all(bench_viterbi.main)}
-    app = _run(bench_app.main)
+    try:
+        vit = {v["metric"]: v for v in _run_all(bench_viterbi.main)}
+    except Exception as e:                       # noqa: BLE001
+        vit = {}
+        errors.append(f"viterbi: {e!r}")
+    # the application bench runs in its OWN process with a hard
+    # timeout: the tunneled chip's remote side occasionally wedges for
+    # tens of minutes (observed), and a missing app number must not
+    # cost the whole headline JSON
+    app = {}
+    try:
+        out = subprocess.run(
+            [os.sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_app.py")],
+            capture_output=True, text=True, timeout=2100,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode == 0:
+            app = json.loads(out.stdout.strip().splitlines()[-1])
+        else:
+            errors.append("app: rc=%d %s" % (
+                out.returncode, out.stderr.strip().splitlines()[-1:]))
+    except Exception as e:                       # noqa: BLE001
+        errors.append(f"app: {e!r}")
 
     out = {
         "metric": "transponder_rx_mixed_throughput",
@@ -106,15 +131,15 @@ def main() -> None:
         # chains (BASELINE.md first-class metric; conv.c:335-508)
         "viterbi_bursts_per_s": {
             k.removeprefix("viterbi_"): v["value"] for k, v in vit.items()},
-        "application_msps": app["value"],
-        "application_vs_realtime": app["vs_realtime"],
+        "application_msps": app.get("value"),
+        "application_vs_realtime": app.get("vs_realtime"),
         "application_steady_msps": app.get("steady_msps"),
         "application_steady_median_block_msps":
             app.get("steady_median_block_msps"),
         "application_device_msps": app.get("device_msps"),
         "application_device_vs_realtime": app.get("device_vs_realtime"),
-        "application_rtts_per_block": app["rtts_per_block"],
-        "application_device_wait_share": app["device_wait_share"],
+        "application_rtts_per_block": app.get("rtts_per_block"),
+        "application_device_wait_share": app.get("device_wait_share"),
         "application_sections_s": app.get("sections_s"),
         # the tunneled chip's host<->device link (~25-70 MB/s D2H, vs
         # ~1000x on production PCIe) bounds the app number; the link
@@ -142,9 +167,10 @@ def main() -> None:
             regressed.append(f"mixed {pct:.1f}%")
     # Viterbi gates: K=9 must hold the 1M bursts/s target absolutely;
     # every family gates -5% vs the last recorded round
-    k9 = out["viterbi_bursts_per_s"].get("k9tb_xch_dc12", 0)
-    if k9 < 1_000_000:
-        regressed.append(f"viterbi_k9 {k9} < 1.0M bursts/s")
+    if vit:
+        k9 = out["viterbi_bursts_per_s"].get("k9tb_xch_dc12", 0)
+        if k9 < 1_000_000:
+            regressed.append(f"viterbi_k9 {k9} < 1.0M bursts/s")
     last_vit = (last or {}).get("viterbi_bursts_per_s") or {}
     for name, val in out["viterbi_bursts_per_s"].items():
         prev = last_vit.get(name)
@@ -152,6 +178,8 @@ def main() -> None:
             pct = 100.0 * (val - prev) / prev
             if pct < REGRESS_PCT:
                 regressed.append(f"viterbi {name} {pct:.1f}%")
+    if errors:
+        out["errors"] = errors
     if regressed:
         out["regressed"] = regressed
     print(json.dumps(out))

@@ -14,6 +14,16 @@
  * windowed centroid), mirroring gmr1_tpu/ops/dsp.py:105-137 exactly so
  * both sides share one agreed definition (SURVEY.md §7 hard part e:
  * parity within the SNR bound, not bit-exact sub-sample TOA).
+ *
+ * Status (round 5): closing this against upstream cxvec_math.c is not
+ * possible in this environment — libosmo-dsp is not vendored by the
+ * reference (configure.ac:25-27 external dep), is not installed in the
+ * image, and the container has zero egress; re-implementing "upstream
+ * semantics" from memory would just swap one unverifiable
+ * approximation for another.  The sub-sample refinement only shifts
+ * TOA by <1 sample; every decoded-bit parity test is insensitive to
+ * it, and the demod aligns with sinc interpolation around the shared
+ * definition, so the agreed-definition approach stays.
  */
 
 #include <complex.h>
