@@ -54,6 +54,11 @@ def main(argv=None) -> int:
                     help="FCCH beams per carrier (multi-beam scan)")
     ap.add_argument("--wide", action="append", default=[],
                     help="wide carrier spec like 500x3 (repeatable)")
+    ap.add_argument("--h2d-dtype", choices=("float32", "int16"),
+                    default="float32",
+                    help="wideband ingest transfer dtype: int16 halves "
+                         "host->device bytes (per-block peak-quantized; "
+                         "needs an on-grid --fs)")
     ap.add_argument("--stream", action="store_true",
                     help="consume the capture strictly forward in "
                          "blocks (live-source mode; off-grid fs "
@@ -115,7 +120,7 @@ def main(argv=None) -> int:
             src, args.fs, args.center,
             sps=args.sps_opt, kc=kc, sink=sink, arfcns=arfcns,
             snr_min=args.snr_min, fcch_type=ft, verbose=args.verbose,
-            beams=args.beams,
+            beams=args.beams, h2d_dtype=args.h2d_dtype,
             wide_channels=[Channel.parse(s) for s in args.wide])
         n = rx.run()
         cars = rx.carriers + rx.wide_carriers

@@ -518,6 +518,8 @@ class WidebandReceiver:
         self._il: InterleaverState | None = None
         self._last_put = None        # last device input block (bench)
         self._last_meta = None       # last block meta (bench)
+        self._q_job = None           # in-flight host read/quant job
+        self._q_pool = None
         # wall-clock per pipeline section, accumulated across run()
         # (SURVEY §5.1 observability; bench_app.py reports it)
         self.prof: dict[str, float] = {}
@@ -693,19 +695,52 @@ class WidebandReceiver:
             return jax.device_put(shards, sh)
         self._put = put
 
+    def _rotate_x(self, x: np.ndarray, n0: int) -> np.ndarray:
+        """Grid pre-rotation with exact float64 phase from absolute
+        sample offset n0 (pure — safe off the main thread)."""
+        if not (self._rotate and x.shape[0]):
+            return x
+        ph = self.chz.rotation * (
+            n0 + np.arange(x.shape[0], dtype=np.float64))
+        ph = np.mod(ph, 2.0 * np.pi).astype(np.float32)
+        c, s = np.cos(ph), np.sin(ph)
+        return np.stack([x[:, 0] * c - x[:, 1] * s,
+                         x[:, 0] * s + x[:, 1] * c], axis=-1)
+
     def _pull(self, n: int) -> np.ndarray:
         """Read n samples from the source (short at EOF), applying the
         grid pre-rotation per block with exact float64 phase."""
-        x = np.asarray(self._src.read(n), np.float32)
-        if self._rotate and x.shape[0]:
-            ph = self.chz.rotation * (
-                self._n_pulled + np.arange(x.shape[0], dtype=np.float64))
-            ph = np.mod(ph, 2.0 * np.pi).astype(np.float32)
-            c, s = np.cos(ph), np.sin(ph)
-            x = np.stack([x[:, 0] * c - x[:, 1] * s,
-                          x[:, 0] * s + x[:, 1] * c], axis=-1)
+        x = self._rotate_x(np.asarray(self._src.read(n), np.float32),
+                           self._n_pulled)
         self._n_pulled += x.shape[0]
         return x
+
+    def _q_start(self) -> None:
+        """Submit the NEXT block's host work (source read + rotation +
+        int16 quantization, all pure numpy that releases the GIL) to a
+        single worker thread, overlapping it with this block's meta
+        build + dispatch.  Only the simple single-chip streaming path
+        offloads; counters and EOF state are committed on the main
+        thread when the job is consumed (_next_put_block)."""
+        if (self._q_job is not None or self.mesh is not None
+                or self._pre is not None or self._replay_dev
+                or self._eof):
+            return
+        if self._q_pool is None:
+            import concurrent.futures
+            self._q_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+        n0, n = self._n_pulled, self.n_block
+
+        def work():
+            x = self._rotate_x(
+                np.asarray(self._src.read(n), np.float32), n0)
+            nv = x.shape[0]
+            if nv < n:
+                x = np.concatenate(
+                    [x, np.zeros((n - nv, 2), np.float32)])
+            return self._quant(x), nv
+        self._q_job = self._q_pool.submit(work)
 
     def _pin_eof(self, n_valid: int) -> None:
         """A short block pins the stream length (EOF)."""
@@ -717,13 +752,21 @@ class WidebandReceiver:
     def _next_put_block(self):
         """Next n_block on-grid samples, already _put to the device:
         the acquisition replay list first (no repeated H2D), then the
-        source; zero-padded at EOF (which pins n_stream).  Off-grid fs:
-        device chunks from the streaming pre-resampler."""
+        pre-quantized worker job (_q_start) or the source; zero-padded
+        at EOF (which pins n_stream).  Off-grid fs: device chunks from
+        the streaming pre-resampler."""
         if self._replay_dev:
             x, n_valid = self._replay_dev.pop(0)
             self._n_in += int(n_valid)
             self._pin_eof(int(n_valid))
             return x
+        if self._q_job is not None:
+            xq, nv = self._q_job.result()
+            self._q_job = None
+            self._n_pulled += nv
+            self._n_in += nv
+            self._pin_eof(nv)
+            return jnp.asarray(xq)
         if self._pre is not None:
             x, n_valid = self._pre.produce_block()
             self._n_in += int(n_valid)
@@ -1069,6 +1112,8 @@ class WidebandReceiver:
     def _process_block(self, active: list[_Carrier],
                        prefetch=None) -> None:
         t = time.perf_counter()
+        if prefetch is not None:
+            self._q_start()     # overlap next block's read+quant (host)
         sps = self.sps
         F = self.block_frames
         frame_len = self.frame_out
