@@ -333,7 +333,7 @@ def main(argv=None) -> None:
     n_false = len(found - set(arfcns))
     n_carriers = len(arfcns)
     bad = []
-    n_speech = n_csd = n_si1 = 0
+    n_speech = n_csd = 0
     for car in rx.carriers:
         if car.arfcn not in set(arfcns):
             continue
@@ -341,7 +341,6 @@ def main(argv=None) -> None:
         si1 = {fn: l2 for t, fn, tn, l2 in car.frames if t == gsmtap.GMR1_BCCH}
         if not si1 or any(tr["si1"].get(fn) != l2 for fn, l2 in si1.items()):
             bad.append(("si1", car.arfcn))
-        n_si1 += len(si1)
         fa = [l2 for t, _f, _t, l2 in car.frames
               if t == (gsmtap.GMR1_TCH3 | gsmtap.GMR1_FACCH)]
         if tr["facch"] not in fa:

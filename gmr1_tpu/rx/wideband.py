@@ -302,7 +302,7 @@ def _pack_small(small, spec):
     chains return e.g. int32 CRC flags), flatten to (C, bytes) uint8
     and concatenate."""
     parts = []
-    for k, dt, tail in spec:
+    for k, dt, _tail in spec:
         v = small[k]
         if k == "l2a":                       # (F, C, 60) -> (C, F, 60)
             v = jnp.moveaxis(v, 0, 1)
@@ -405,6 +405,12 @@ def _chain_fix(il_prev, il2, fix, e9, ks):
 def _gather_if(x, ij):
     """Gather (i, f) rows from a device-resident (C, F, L) tensor."""
     return x[ij[:, 0], ij[:, 1]]
+
+
+@jax.jit
+def _gather_rows(x, rows):
+    """Gather rows of a device-resident (N, ...) tensor."""
+    return x[rows]
 
 
 _facch3_decode = jax.jit(facch3.decode)
@@ -931,7 +937,12 @@ class WidebandReceiver:
                 per_block[bw].append(len(cand))
                 cand.append((col, k, s0))
 
-        gathered: list = [None] * len(cand)
+        # per replay block: ONE batched window gather; candidates map
+        # to rows of the concatenated result (per-candidate device
+        # slicing here used to cost ~1000 eager ops, ~2.5 s host)
+        blocks_w: list = []
+        row_of = np.full(len(cand), -1, np.int64)
+        n_rows = 0
         if cand:
             for b, buf in self._acq_replay(blocks):
                 grp = per_block[b]
@@ -946,17 +957,23 @@ class WidebandReceiver:
                 starts = np.asarray(
                     [[cand[ci][2] - base] for ci in grp]
                     + [[cand[grp[0]][2] - base]] * pad, np.int32)
-                w = _windows_rows(buf, jnp.asarray(cols),
-                                  jnp.asarray(starts), wlen)[:, 0]
-                for j, ci in enumerate(grp):
-                    gathered[ci] = w[j]
+                blocks_w.append(_windows_rows(
+                    buf, jnp.asarray(cols), jnp.asarray(starts),
+                    wlen)[:, 0])
+                row_of[grp] = n_rows + np.arange(len(grp))
+                n_rows += n_pad
 
         toa = np.zeros(toa_r.shape, np.int64)
         ferr = np.zeros(toa_r.shape, np.float32)
         snr = np.full(toa_r.shape, np.nan, np.float32)  # non-cand: skip
         if cand:
             n_pad = _pad_cnt(len(cand))
-            w3 = jnp.stack(gathered + [gathered[0]] * (n_pad - len(cand)))
+            order = np.concatenate(
+                [row_of, np.full(n_pad - len(cand), row_of[0], np.int64)])
+            w3 = _gather_rows(
+                blocks_w[0] if len(blocks_w) == 1
+                else jnp.concatenate(blocks_w, axis=0),
+                jnp.asarray(order, np.int32))
             off = np.asarray(
                 [int(toa_r[c, k]) - s0 for c, k, s0 in cand]
                 + [int(toa_r[cand[0][0], cand[0][1]]) - cand[0][2]]
@@ -1404,7 +1421,7 @@ class WidebandReceiver:
             return []
         by_src: dict[int, tuple[object, list]] = {}
         for car, tensor, row, evs in fev:
-            ten, items = by_src.setdefault(id(tensor), (tensor, []))
+            _ten, items = by_src.setdefault(id(tensor), (tensor, []))
             items.extend((row, f) for f, _fn, _s in evs)
         got = {}
         for tid, (tensor, items) in by_src.items():
