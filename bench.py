@@ -141,6 +141,10 @@ def main() -> None:
         "application_rtts_per_block": app.get("rtts_per_block"),
         "application_device_wait_share": app.get("device_wait_share"),
         "application_sections_s": app.get("sections_s"),
+        "application_sections_median_block_s":
+            app.get("sections_median_block_s"),
+        "application_steady_dispatch_share":
+            app.get("steady_dispatch_share"),
         # the tunneled chip's host<->device link (~25-70 MB/s D2H, vs
         # ~1000x on production PCIe) bounds the app number; the link
         # measurement gives the wall-clock its environment context

@@ -379,6 +379,14 @@ def main(argv=None) -> None:
     walls = sorted(rx.block_walls[2:]) or sorted(rx.block_walls)
     med_wall = walls[len(walls) // 2]
     steady_med = n_block / med_wall / 1e6
+    # steady per-section medians (same rationale): the VERDICT-gated
+    # dispatch share must reflect the per-block host cost, not the
+    # one-time load that lands in whichever section runs first
+    def med(key):
+        xs = sorted(p.get(key, 0.0) for p in rx.block_profs[2:]) \
+            or [0.0]
+        return xs[len(xs) // 2]
+    sect_med = {k: round(med(k), 3) for k in sorted(rx.prof)}
     rtts = (stats["n"] - acq_rtts) / max(1, blocks_done)
     print(json.dumps({
         "metric": "application_rx_throughput",
@@ -401,6 +409,11 @@ def main(argv=None) -> None:
         "speech_frames": n_speech,
         "csd_bursts": n_csd,
         "sections_s": {k: round(v, 2) for k, v in sorted(rx.prof.items())},
+        # per-block medians: the steady-state cost of each section
+        # (totals above absorb one-time remote executable loads)
+        "sections_median_block_s": sect_med,
+        "steady_dispatch_share": round(
+            sect_med.get("dispatch", 0.0) / med_wall, 3),
         "h2d_dtype": "int16",
         "link": {"h2d_mbps": round(h2d_mbps), "d2h_mbps": round(d2h_mbps),
                  "first_fetch_setup_s": round(link_setup_s, 1)},

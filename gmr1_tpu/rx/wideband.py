@@ -1678,9 +1678,11 @@ class WidebandReceiver:
         drain_max = self.T_tail // self.S_b + 3
         b = drained = 0
         self.block_walls: list[float] = []   # per-iteration wall clock
+        self.block_profs: list[dict] = []    # per-iteration section split
         pending = None   # prefetched (streams, buf0, was_eof) of block b
         while True:
             t_iter = time.perf_counter()
+            prof0 = dict(self.prof)
             narrow_done = all(c.done for c in self.carriers)
             if narrow_done and (not self._wide or self._eof):
                 break
@@ -1718,5 +1720,8 @@ class WidebandReceiver:
                 self._step_wide()
             b += 1
             self.block_walls.append(time.perf_counter() - t_iter)
+            self.block_profs.append(
+                {k: v - prof0.get(k, 0.0) for k, v in self.prof.items()
+                 if v - prof0.get(k, 0.0) > 0.0})
         self._process_wide()
         return len(self.frames)
