@@ -106,7 +106,7 @@ def main() -> None:
     app = {}
     try:
         out = subprocess.run(
-            [os.sys.executable, os.path.join(
+            [sys.executable, os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "bench_app.py")],
             capture_output=True, text=True, timeout=2100,
